@@ -1,0 +1,657 @@
+"""Pure-numpy kernels: affine math, windows, rasterization, statistics.
+
+These functions run inside Arrow pandas UDF batches on Spark executors and
+also serve as the single-node "reference semantics oracle" used for
+differential testing and golden-fixture generation.
+
+Semantics mirror perrygeo/python-rasterstats (cited per function), but the
+implementation is from scratch: the reference delegates rasterization to
+GDAL (utils.py:33-55) and windowed reads to rasterio (io.py:292-362); here
+both are reimplemented in numpy so the engine has zero native-GDAL
+dependencies and identical behavior on every executor.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import geom as G
+
+# ---------------------------------------------------------------------------
+# affine transforms — tuple (a, b, c, d, e, f):
+#   x = a*col + b*row + c ;  y = d*col + e*row + f   (same layout as
+#   the `affine` package used by the reference, io.py:149-168)
+# ---------------------------------------------------------------------------
+
+
+def affine_xy(aff, col, row):
+    a, b, c, d, e, f = aff
+    return (a * col + b * row + c, d * col + e * row + f)
+
+
+def affine_colrow(aff, x, y):
+    """Inverse transform: CRS (x, y) → fractional (col, row).
+
+    Uses the exact (x-c)/a form when the grid is rectilinear so floor/ceil
+    behavior matches the reference's ``rowcol`` (io.py:149-153) bit-for-bit.
+    """
+    a, b, c, d, e, f = aff
+    if b == 0.0 and d == 0.0:
+        return ((x - c) / a, (y - f) / e)
+    det = a * e - b * d
+    col = (e * (x - c) - b * (y - f)) / det
+    row = (a * (y - f) - d * (x - c)) / det
+    return (col, row)
+
+
+def rowcol(x, y, aff, op=math.floor):
+    """CRS point → integer (row, col) (reference: io.py:149-153)."""
+    fcol, frow = affine_colrow(aff, x, y)
+    return int(op(frow)), int(op(fcol))
+
+
+def bounds_window(bounds, aff):
+    """Bounds → full-cover pixel window ((r0, r1), (c0, c1))
+    (reference: io.py:156-161 — floor start, ceil stop)."""
+    w, s, e, n = bounds
+    row_start, col_start = rowcol(w, n, aff)
+    row_stop, col_stop = rowcol(e, s, aff, op=math.ceil)
+    return (row_start, row_stop), (col_start, col_stop)
+
+
+def window_bounds(window, aff):
+    """Pixel window → (w, s, e, n) bounds (reference: io.py:164-168)."""
+    (row_start, row_stop), (col_start, col_stop) = window
+    w, s = affine_xy(aff, col_start, row_stop)
+    e, n = affine_xy(aff, col_stop, row_start)
+    return w, s, e, n
+
+
+def window_affine(window, aff):
+    """Shifted affine for a sub-window (reference: io.py:328-330)."""
+    a, b, _, d, e, _ = aff
+    c, _, _, f = window_bounds(window, aff)
+    return (a, b, c, d, e, f)
+
+
+def beyond_extent(window, shape):
+    """Window references pixels outside shape? (reference: io.py:171-174)."""
+    (r0, r1), (c0, c1) = window
+    return r0 < 0 or c0 < 0 or r1 > shape[0] or c1 > shape[1]
+
+
+def boundless_array(arr, window, nodata, masked=False):
+    """Read an arbitrary window of ``arr``, padding with nodata
+    (reference: io.py:177-221, 2D path)."""
+    (wr0, wr1), (wc0, wc1) = window
+    h, w = arr.shape[-2:]
+    olr0 = max(min(wr0, h), 0)
+    olr1 = max(min(wr1, h), 0)
+    olc0 = max(min(wc0, w), 0)
+    olc1 = max(min(wc1, w), 0)
+    out = np.empty((wr1 - wr0, wc1 - wc0), dtype=arr.dtype)
+    out[:] = nodata
+    nr0 = olr0 - wr0
+    nc0 = olc0 - wc0
+    out[nr0 : nr0 + (olr1 - olr0), nc0 : nc0 + (olc1 - olc0)] = arr[
+        olr0:olr1, olc0:olc1
+    ]
+    if masked:
+        out = np.ma.MaskedArray(out, mask=(out == nodata))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rasterization — replaces GDALRasterize (reference: utils.py:33-55).
+#
+# All functions take geometry coordinates already converted to GLOBAL pixel
+# space (x=fractional col, y=fractional row; pixel (r, c) spans
+# [c, c+1) × [r, r+1) with center (c+0.5, r+0.5)) plus a window offset.
+# Evaluating per-tile with global pixel coords guarantees tile-seam
+# consistency: the burn decision for a pixel never depends on the window.
+# ---------------------------------------------------------------------------
+
+
+def geom_to_pixel(geom: dict, aff) -> dict:
+    """Convert geometry CRS coords → global pixel coords (col→x, row→y)."""
+
+    def conv(c):
+        return affine_colrow(aff, c[0], c[1])
+
+    return {
+        "type": geom["type"],
+        "coordinates": _map_pix(geom["coordinates"], G._DEPTH[geom["type"]], conv),
+    }
+
+
+def _map_pix(coords, depth, conv):
+    if depth == 0:
+        return conv(coords)
+    return [_map_pix(c, depth - 1, conv) for c in coords]
+
+
+def _fill_rings(rings, window):
+    """Even-odd scanline polygon fill testing pixel CENTERS.
+
+    Matches GDAL's default (non-all_touched) polygon rule: burn a pixel iff
+    its center point is inside the polygon (even-odd over all rings, so
+    interior rings punch holes — reference semantics via GDALRasterize,
+    utils.py:46-53).
+    """
+    (r0, r1), (c0, c1) = window
+    h, w = r1 - r0, c1 - c0
+    out = np.zeros((h, w), dtype=bool)
+    if h <= 0 or w <= 0:
+        return out
+    edges = []
+    for ring in rings:
+        pts = np.asarray(ring, dtype=np.float64)
+        if len(pts) < 3:
+            continue
+        x1, y1 = pts[:-1, 0], pts[:-1, 1]
+        x2, y2 = pts[1:, 0], pts[1:, 1]
+        keep = y1 != y2  # horizontal edges never cross a scanline
+        edges.append((x1[keep], y1[keep], x2[keep], y2[keep]))
+    if not edges:
+        return out
+    ex1 = np.concatenate([e[0] for e in edges])
+    ey1 = np.concatenate([e[1] for e in edges])
+    ex2 = np.concatenate([e[2] for e in edges])
+    ey2 = np.concatenate([e[3] for e in edges])
+    ylo = np.minimum(ey1, ey2)
+    yhi = np.maximum(ey1, ey2)
+    centers_x = c0 + np.arange(w) + 0.5
+    for i in range(h):
+        yc = r0 + i + 0.5
+        # half-open rule [ylo, yhi): each vertex counted once
+        hit = (ylo <= yc) & (yc < yhi)
+        if not hit.any():
+            continue
+        t = (yc - ey1[hit]) / (ey2[hit] - ey1[hit])
+        xs = ex1[hit] + t * (ex2[hit] - ex1[hit])
+        xs.sort()
+        # center inside iff # crossings strictly left of it is odd
+        out[i] = (np.searchsorted(xs, centers_x, side="left") % 2) == 1
+    return out
+
+
+def _supercover_cells(x1, y1, x2, y2):
+    """All integer cells (r, c) a segment passes through (Amanatides–Woo)."""
+    cells = []
+    c, r = math.floor(x1), math.floor(y1)
+    c_end, r_end = math.floor(x2), math.floor(y2)
+    dx, dy = x2 - x1, y2 - y1
+    step_c = 1 if dx > 0 else -1
+    step_r = 1 if dy > 0 else -1
+    if dx != 0:
+        t_max_x = ((c + (step_c > 0)) - x1) / dx
+        t_dx = abs(1.0 / dx)
+    else:
+        t_max_x, t_dx = math.inf, math.inf
+    if dy != 0:
+        t_max_y = ((r + (step_r > 0)) - y1) / dy
+        t_dy = abs(1.0 / dy)
+    else:
+        t_max_y, t_dy = math.inf, math.inf
+    cells.append((r, c))
+    guard = 0
+    max_steps = abs(c_end - c) + abs(r_end - r) + 4
+    while (c != c_end or r != r_end) and guard < max_steps:
+        guard += 1
+        if t_max_x < t_max_y:
+            c += step_c
+            t_max_x += t_dx
+        elif t_max_y < t_max_x:
+            r += step_r
+            t_max_y += t_dy
+        else:  # exact corner crossing: take both neighbors (supercover)
+            cells.append((r, c + step_c))
+            cells.append((r + step_r, c))
+            c += step_c
+            r += step_r
+            t_max_x += t_dx
+            t_max_y += t_dy
+        cells.append((r, c))
+    return cells
+
+
+def _bresenham_cells(x1, y1, x2, y2):
+    """8-connected line walk between the cells containing the endpoints.
+
+    Deterministic analog of GDAL's default (non-all_touched) line burn: a
+    thin connected path rather than every touched cell.
+    """
+    c, r = math.floor(x1), math.floor(y1)
+    c2, r2 = math.floor(x2), math.floor(y2)
+    dc, dr = abs(c2 - c), abs(r2 - r)
+    sc = 1 if c2 >= c else -1
+    sr = 1 if r2 >= r else -1
+    err = dc - dr
+    cells = []
+    while True:
+        cells.append((r, c))
+        if c == c2 and r == r2:
+            break
+        e2 = 2 * err
+        if e2 > -dr:
+            err -= dr
+            c += sc
+        if e2 < dc:
+            err += dc
+            r += sr
+    return cells
+
+
+def _burn_cells(out, cells, window):
+    (r0, r1), (c0, c1) = window
+    for r, c in cells:
+        if r0 <= r < r1 and c0 <= c < c1:
+            out[r - r0, c - c0] = True
+
+
+def rasterize_pixgeom(pgeom: dict, window, all_touched: bool = False) -> np.ndarray:
+    """Boolean cover mask for a geometry in pixel coords over a window.
+
+    Replaces rasterio.features.rasterize (reference: utils.py:33-55):
+      - polygons, default:     center-point-in-polygon (even-odd)
+      - polygons, all_touched: center-covered ∪ cells crossed by any ring edge
+      - lines,    default:     8-connected Bresenham walk
+      - lines,    all_touched: supercover (every cell the segment crosses)
+      - points:                cell containing the point
+    """
+    (r0, r1), (c0, c1) = window
+    out = np.zeros((max(r1 - r0, 0), max(c1 - c0, 0)), dtype=bool)
+    if out.size == 0:
+        return out
+    gtype = pgeom["type"]
+    if gtype in ("Polygon", "MultiPolygon"):
+        rings = G.polygon_rings(pgeom)
+        out |= _fill_rings(rings, window)
+        if all_touched:
+            for ring in rings:
+                for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                    _burn_cells(out, _supercover_cells(x1, y1, x2, y2), window)
+    elif gtype in ("LineString", "MultiLineString"):
+        for line in G.line_segments(pgeom):
+            for (x1, y1), (x2, y2) in zip(line[:-1], line[1:]):
+                cells = (
+                    _supercover_cells(x1, y1, x2, y2)
+                    if all_touched
+                    else _bresenham_cells(x1, y1, x2, y2)
+                )
+                _burn_cells(out, cells, window)
+    elif gtype in ("Point", "MultiPoint"):
+        cells = [(math.floor(y), math.floor(x)) for x, y in G.point_coords(pgeom)]
+        _burn_cells(out, cells, window)
+    else:
+        raise ValueError(gtype)
+    return out
+
+
+def boxify_points(geom: dict, aff) -> dict:
+    """(Multi)Point → MultiPolygon of 99%-cellsize boxes centered on the
+    containing raster cell (reference: utils.py:125-145)."""
+    if "Point" not in geom["type"]:
+        raise ValueError("Points or multipoints only")
+    a, _, _, _, e, _ = aff
+    buff = -0.01 * abs(min(a, e))
+    polys = []
+    for x, y in G.point_coords(geom):
+        row, col = rowcol(x, y, aff)
+        win = ((row, row + 1), (col, col + 1))
+        w, s, e_, n = window_bounds(win, aff)
+        # box(...).buffer(negative) on a rectangle = inward offset
+        polys.append(
+            [
+                [
+                    (w - buff, s - buff),
+                    (e_ + buff, s - buff),
+                    (e_ + buff, n + buff),
+                    (w - buff, n + buff),
+                    (w - buff, s - buff),
+                ]
+            ]
+        )
+    return {"type": "MultiPolygon", "coordinates": polys}
+
+
+# ---------------------------------------------------------------------------
+# statistics — validation
+# ---------------------------------------------------------------------------
+
+DEFAULT_STATS = ["count", "min", "max", "mean"]
+VALID_STATS = DEFAULT_STATS + [
+    "sum",
+    "std",
+    "median",
+    "majority",
+    "minority",
+    "unique",
+    "range",
+    "nodata",
+    "nan",
+]
+
+
+def get_percentile(stat: str) -> float:
+    """Parse 'percentile_q' → q, validating 0 ≤ q ≤ 100 (reference: utils.py:21-30)."""
+    if not stat.startswith("percentile_"):
+        raise ValueError("must start with 'percentile_'")
+    q = float(stat.replace("percentile_", ""))
+    if q > 100.0:
+        raise ValueError("percentiles must be <= 100")
+    if q < 0.0:
+        raise ValueError("percentiles must be >= 0")
+    return q
+
+
+def check_stats(stats, categorical):
+    """Validate/expand the stats request (reference: utils.py:80-103)."""
+    if not stats:
+        stats = [] if categorical else list(DEFAULT_STATS)
+    elif isinstance(stats, str):
+        stats = list(VALID_STATS) if stats in ("*", "ALL") else stats.split()
+    else:
+        stats = list(stats)
+    for x in stats:
+        if x.startswith("percentile_"):
+            get_percentile(x)
+        elif x not in VALID_STATS:
+            raise ValueError(f"Stat {x!r} not valid; must be one of \n {VALID_STATS}")
+    run_count = bool(
+        categorical or "majority" in stats or "minority" in stats or "unique" in stats
+    )
+    return stats, run_count
+
+
+def remap_categories(category_map, stats_dict):
+    """Rename map keys, passing unknown keys through (reference: utils.py:106-114)."""
+    return {category_map.get(k, k): v for k, v in stats_dict.items()}
+
+
+def key_assoc_val(d, func):
+    """Key whose value == func(values), first match (reference: utils.py:117-122)."""
+    vs = list(d.values())
+    ks = list(d.keys())
+    return ks[vs.index(func(vs))]
+
+
+# ---------------------------------------------------------------------------
+# statistics — partial / merge / finalize (the Spark two-level agg protocol)
+# ---------------------------------------------------------------------------
+
+
+def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bool):
+    """Partial aggregation state for one (zone, tile) pixel block.
+
+    ``values``: 2D pixel block; ``cover``: boolean mask of same shape.
+    Returns a dict of merge-able scalars + optional (vals, cnts) arrays.
+    Mirrors the mask construction of reference main.py:196-208 and the
+    nodata/nan accounting of main.py:294-302.
+    """
+    arr = np.asarray(values)
+    is_float = np.issubdtype(arr.dtype, np.floating)
+    isnan = np.isnan(arr) if is_float else np.zeros(arr.shape, dtype=bool)
+    if nodata is None:
+        isnodata = np.zeros(arr.shape, dtype=bool)
+    else:
+        isnodata = arr == nodata
+    valid = cover & ~isnodata & ~isnan
+    vals = arr[valid].astype(np.float64, copy=False)
+    n = int(vals.size)
+    out = {
+        "cover_count": int(cover.sum()),
+        "count": n,
+        "sum": float(vals.sum()) if n else 0.0,
+        "sumsq": float(np.square(vals).sum()) if n else 0.0,
+        "min": float(vals.min()) if n else None,
+        "max": float(vals.max()) if n else None,
+        "nodata_count": int((isnodata & cover).sum()),
+        "nan_count": int((isnan & cover).sum()),
+    }
+    if want_counts and n:
+        uvals, ucnts = np.unique(vals, return_counts=True)
+        out["vc_vals"] = uvals
+        out["vc_cnts"] = ucnts.astype(np.int64)
+    else:
+        out["vc_vals"] = np.empty(0, dtype=np.float64)
+        out["vc_cnts"] = np.empty(0, dtype=np.int64)
+    return out
+
+
+def weighted_percentile(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact np.percentile (linear interpolation) over (value, count) pairs.
+
+    ``values`` must be sorted ascending. Matches
+    ``np.percentile(np.repeat(values, counts), q)`` (reference: main.py:289-292).
+    """
+    n = int(counts.sum())
+    if n == 0:
+        raise ValueError("empty")
+    target = q / 100.0 * (n - 1)
+    k = int(math.floor(target))
+    frac = target - k
+    cum = np.cumsum(counts)
+    lo = values[np.searchsorted(cum, k, side="right")]
+    if frac == 0.0:
+        return float(lo)
+    hi = values[np.searchsorted(cum, k + 1, side="right")]
+    return float(lo + frac * (hi - lo))
+
+
+def finalize_stats(
+    merged: dict,
+    stats: list[str],
+    *,
+    categorical: bool = False,
+    category_map: dict | None = None,
+):
+    """Final per-zone stats from merged partial state (reference: main.py:230-302).
+
+    ``merged`` keys: count, sum, sumsq, min, max, nodata_count, nan_count,
+    vc_vals (sorted ascending), vc_cnts. Returns a plain dict with the
+    reference's value conventions (count int, floats elsewhere, None fills,
+    count=0 for empty zones).
+    """
+    n = int(merged["count"])
+    out: dict = {}
+    vc_vals = np.asarray(merged.get("vc_vals", ()), dtype=np.float64)
+    vc_cnts = np.asarray(merged.get("vc_cnts", ()), dtype=np.int64)
+
+    if n == 0:
+        out = {stat: None for stat in stats}
+        if "count" in stats:
+            out["count"] = 0
+        if categorical:
+            pass  # no observed values → no categorical keys (main.py:230-234)
+    else:
+        if categorical:
+            pixel_count = {
+                float(v): int(c) for v, c in zip(vc_vals.tolist(), vc_cnts.tolist())
+            }
+            if category_map:
+                pixel_count = remap_categories(category_map, pixel_count)
+            out.update(pixel_count)
+        mean = merged["sum"] / n
+        if "min" in stats:
+            out["min"] = float(merged["min"])
+        if "max" in stats:
+            out["max"] = float(merged["max"])
+        if "mean" in stats:
+            out["mean"] = float(mean)
+        if "count" in stats:
+            out["count"] = n
+        if "sum" in stats:
+            out["sum"] = float(merged["sum"])
+        if "std" in stats:
+            var = merged["sumsq"] / n - mean * mean  # population (ddof=0),
+            out["std"] = float(math.sqrt(max(var, 0.0)))  # main.py:268-269
+        if "median" in stats:
+            out["median"] = weighted_percentile(vc_vals, vc_cnts, 50.0)
+        if "majority" in stats:
+            # vc_vals sorted ascending ⇒ argmax picks smallest value on ties,
+            # matching np.unique order + first-match (main.py:272-273,
+            # utils.py:117-122)
+            out["majority"] = float(vc_vals[int(np.argmax(vc_cnts))])
+        if "minority" in stats:
+            out["minority"] = float(vc_vals[int(np.argmin(vc_cnts))])
+        if "unique" in stats:
+            out["unique"] = int(vc_vals.size)
+        if "range" in stats:
+            out["range"] = float(merged["max"]) - float(merged["min"])
+        for pctile in [s for s in stats if s.startswith("percentile_")]:
+            q = get_percentile(pctile)
+            out[pctile] = weighted_percentile(vc_vals, vc_cnts, q)
+
+    if "nodata" in stats:
+        out["nodata"] = float(merged["nodata_count"])
+    if "nan" in stats:
+        out["nan"] = float(merged["nan_count"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# single-zone oracle — reference main.py:183-302 semantics over one ndarray.
+# Used for golden-fixture generation, differential tests, and the
+# "gather tier" (add_stats / raster_out / non-elementwise zone_func).
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats_one(
+    geom: dict,
+    array: np.ndarray,
+    aff,
+    *,
+    nodata=None,
+    stats=None,
+    all_touched: bool = False,
+    categorical: bool = False,
+    category_map: dict | None = None,
+    zone_func=None,
+    boundless: bool = True,
+):
+    """Zonal stats for ONE feature over an in-memory raster.
+
+    Line-by-line semantic mirror of reference gen_zonal_stats' per-feature
+    body (main.py:183-302) without GDAL. Returns the stats dict.
+    """
+    stats, run_count = check_stats(stats, categorical)
+    if "Point" in geom["type"]:
+        geom = boxify_points(geom, aff)
+    bounds = G.geom_bounds(geom)
+    win = bounds_window(bounds, aff)
+    if not boundless and beyond_extent(win, array.shape):
+        raise ValueError(
+            "Window/bounds is outside dataset extent, boundless reads are disabled"
+        )
+    fill = -999.0 if nodata is None else nodata  # io.py:331-340 default
+    block = boundless_array(array, win, fill)
+    pgeom = geom_to_pixel(geom, aff)
+    rv = rasterize_pixgeom(pgeom, win, all_touched=all_touched)
+
+    arr = block
+    is_float = np.issubdtype(arr.dtype, np.floating)
+    isnan = np.isnan(arr) if is_float else np.zeros(arr.shape, dtype=bool)
+    isnodata = (arr == fill) | isnan
+    masked = np.ma.MaskedArray(arr, mask=(isnodata | ~rv))
+    if zone_func is not None:
+        if not callable(zone_func):
+            raise TypeError(
+                "zone_func must be a callable function "
+                "which accepts a single `zone_array` arg."
+            )
+        ret = zone_func(masked)
+        if ret is not None:
+            masked = ret
+        # re-derive partial state from the (possibly transformed) array
+        arr2 = np.ma.filled(masked.astype(np.float64), np.nan)
+        cover2 = ~np.ma.getmaskarray(masked)
+        part = partial_stats(arr2, cover2, None, run_count or _needs_counts(stats))
+        part["nodata_count"] = int(((arr == fill) & rv).sum())
+        part["nan_count"] = int((isnan & rv).sum())
+        return finalize_stats(
+            part, stats, categorical=categorical, category_map=category_map
+        )
+
+    part = partial_stats(arr, rv, fill, run_count or _needs_counts(stats))
+    return finalize_stats(
+        part, stats, categorical=categorical, category_map=category_map
+    )
+
+
+def _needs_counts(stats) -> bool:
+    return any(
+        s in ("median", "majority", "minority", "unique") or s.startswith("percentile_")
+        for s in stats
+    )
+
+
+# ---------------------------------------------------------------------------
+# point query kernels (reference: point.py:8-65)
+# ---------------------------------------------------------------------------
+
+
+def point_window_unitxy(x, y, aff):
+    """2×2 window whose cell centers bracket the point + unit-square coords
+    (reference: point.py:8-26). Uses banker's rounding like python round()."""
+    fcol, frow = affine_colrow(aff, x, y)
+    r, c = round(frow), round(fcol)
+    new_win = ((r - 1, r + 1), (c - 1, c + 1))
+    unitxy = (0.5 - (c - fcol), 0.5 + (r - frow))
+    return new_win, unitxy
+
+
+def bilinear(arr, x, y):
+    """Bilinear interpolation on a 2×2 block; masked cells fall back to
+    nearest; masked nearest → None (reference: point.py:29-65)."""
+    assert arr.shape == (2, 2)
+    assert 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0
+    if isinstance(arr, np.ma.MaskedArray) and arr.count() != 4:
+        val = arr[round(1 - y), round(x)]
+        if val is np.ma.masked:
+            return None
+        return float(val)
+    ulv, urv, llv, lrv = np.asarray(arr, dtype=np.float64).flatten().tolist()
+    return (
+        (llv * (1 - x) * (1 - y))
+        + (lrv * x * (1 - y))
+        + (ulv * (1 - x) * y)
+        + (urv * x * y)
+    )
+
+
+def point_query_one(
+    geom: dict,
+    array: np.ndarray,
+    aff,
+    *,
+    nodata=None,
+    interpolate: str = "bilinear",
+    boundless: bool = True,
+):
+    """Point query for ONE feature (reference: point.py:169-199)."""
+    if interpolate not in ("nearest", "bilinear"):
+        raise ValueError("interpolate must be nearest or bilinear")
+    fill = -999.0 if nodata is None else nodata
+    vals = []
+    for x, y in G.geom_vertices(geom):
+        if interpolate == "nearest":
+            r, c = rowcol(x, y, aff)
+            win = ((r, r + 1), (c, c + 1))
+            if not boundless and beyond_extent(win, array.shape):
+                raise ValueError("beyond extent and boundless disabled")
+            block = boundless_array(array, win, fill, masked=True)
+            v = block[0, 0]
+            vals.append(None if v is np.ma.masked else float(v))
+        else:
+            win, (ux, uy) = point_window_unitxy(x, y, aff)
+            if not boundless and beyond_extent(win, array.shape):
+                raise ValueError("beyond extent and boundless disabled")
+            block = boundless_array(array, win, fill, masked=True)
+            v = bilinear(block, ux, uy)
+            vals.append(None if v is None else float(v))
+    if len(vals) == 1:
+        return vals[0]
+    return vals
