@@ -1,0 +1,471 @@
+"""Distributed zonal statistics — the engine's core operator.
+
+Replaces the reference's per-feature Python loop (main.py:183-337) with a
+Spark plan:
+
+    zones ──mapInPandas──▶ zone_cells (zone_id, dataset, tile_col, tile_row)
+                                   │  equi-join on tile key           [J1]
+    tiles ─────────────────────────┤  (broadcast zone side, or SMJ;
+                                   │   LEFT join when boundless-nodata
+                                   ▼   accounting is requested)       [J4]
+            mapInPandas partial kernel: decode payload, rasterize the
+            zone onto the tile's sub-grid (global alignment → seam-safe),
+            mask, emit mergeable partial structs                      [P2-P5]
+                                   │
+              ┌────────────────────┴───────────────────┐
+              ▼ groupBy(zone_id) JVM partial agg        ▼ explode (value, count)
+        scalar stats: sum/min/max/moments         groupBy(zone_id, value) sum
+        (whole-stage codegen, map-side combine)         │
+              │                                         ▼ applyInPandas per zone
+              │                                   holistic stats: exact median/
+              │                                   percentiles/majority/minority/
+              │                                   unique/value_counts     [A7-A15]
+              └────────────────┬────────────────────────┘
+                               ▼ left join back to zones               [J2]
+                     final projection w/ empty-zone semantics          [A17]
+
+Scale properties:
+- tiles are never shuffled in the common path: the zone_cells side is
+  broadcast (inner join) so the scan streams map-side; the only shuffles
+  are the two zone-keyed aggregations, whose payload is tiny partial
+  structs, with map-side combine done by Catalyst.
+- skewed (continent-sized) zones fan out to one row per covering tile, so
+  their partial work spreads across all executors; the value-count merge is
+  keyed by (zone, value) which re-spreads the merge of hot zones
+  (north_rule salting requirement — the value dimension IS the salt).
+- holistic stats stay exact: merged (value, count) pairs reproduce
+  np.percentile's linear interpolation and np.unique-order tiebreaks
+  (reference main.py:270-292, utils.py:117-122).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import codecs as C
+from .. import geom as G
+from .. import kernel as K
+
+# ---------------------------------------------------------------------------
+# dataset metadata
+# ---------------------------------------------------------------------------
+
+
+def collect_dataset_meta(datasets: DataFrame) -> dict:
+    """Materialize the (tiny) datasets dimension to a plain dict that is
+    shipped to executors inside UDF closures."""
+    meta = {}
+    for row in datasets.collect():
+        meta[row["dataset"]] = {
+            "affine": tuple(row["affine"]),
+            "height": int(row["height"]),
+            "width": int(row["width"]),
+            "tile_w": int(row["tile_w"]),
+            "tile_h": int(row["tile_h"]),
+            "nodata": None if row["nodata"] is None else float(row["nodata"]),
+            "fmt": row["fmt"],
+        }
+    return meta
+
+
+def _effective_geom(wkb: bytes, aff):
+    """Decode + point-boxify (reference main.py:186-187, utils.py:125-145)."""
+    geom = G.wkb_loads(bytes(wkb))
+    if "Point" in geom["type"]:
+        geom = K.boxify_points(geom, aff)
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# stage 1 — cover cells
+# ---------------------------------------------------------------------------
+
+_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("tile_col", T.IntegerType()),
+        T.StructField("tile_row", T.IntegerType()),
+        T.StructField("geometry_wkb", T.BinaryType()),
+    ]
+)
+
+
+def zone_cover_cells(
+    zones: DataFrame,
+    meta: dict,
+    *,
+    clip_to_grid: bool,
+    max_cells_per_zone: int = 4_000_000,
+) -> DataFrame:
+    """Explode each zone into its covering tile keys (J1 filter phase).
+
+    The bbox→window math is the reference's partition pruning
+    (main.py:189-191, io.py:156-161) re-expressed as join-key generation.
+    With ``clip_to_grid=False`` cells outside the tile grid are also emitted
+    (they join to nothing and synthesize boundless nodata fill — J4).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_zid, out_ds, out_tc, out_tr, out_wkb = [], [], [], [], []
+            for zid, ds, wkb in zip(
+                pdf["zone_id"], pdf["dataset"], pdf["geometry_wkb"]
+            ):
+                m = meta.get(ds)
+                if m is None:
+                    raise ValueError(f"zone {zid}: unknown dataset {ds!r}")
+                aff = m["affine"]
+                geom = _effective_geom(wkb, aff)
+                (r0, r1), (c0, c1) = K.bounds_window(G.geom_bounds(geom), aff)
+                tr0, tr1 = math.floor(r0 / m["tile_h"]), math.floor((r1 - 1) / m["tile_h"])
+                tc0, tc1 = math.floor(c0 / m["tile_w"]), math.floor((c1 - 1) / m["tile_w"])
+                if clip_to_grid:
+                    ntr = math.ceil(m["height"] / m["tile_h"])
+                    ntc = math.ceil(m["width"] / m["tile_w"])
+                    tr0, tr1 = max(tr0, 0), min(tr1, ntr - 1)
+                    tc0, tc1 = max(tc0, 0), min(tc1, ntc - 1)
+                ncells = max(tr1 - tr0 + 1, 0) * max(tc1 - tc0 + 1, 0)
+                if ncells <= 0:
+                    continue
+                if ncells > max_cells_per_zone:
+                    raise ValueError(
+                        f"zone {zid} covers {ncells} tiles "
+                        f"(> max_cells_per_zone={max_cells_per_zone})"
+                    )
+                trs = np.arange(tr0, tr1 + 1, dtype=np.int32)
+                tcs = np.arange(tc0, tc1 + 1, dtype=np.int32)
+                out_zid.append(np.full(ncells, zid, dtype=np.int64))
+                out_ds.extend([ds] * ncells)
+                out_tc.append(np.tile(tcs, len(trs)))
+                out_tr.append(np.repeat(trs, len(tcs)))
+                out_wkb.extend([wkb] * ncells)
+            if not out_ds:
+                continue
+            yield pd.DataFrame(
+                {
+                    "zone_id": np.concatenate(out_zid),
+                    "dataset": out_ds,
+                    "tile_col": np.concatenate(out_tc),
+                    "tile_row": np.concatenate(out_tr),
+                    "geometry_wkb": out_wkb,
+                }
+            )
+
+    return zones.select("zone_id", "dataset", "geometry_wkb").mapInPandas(
+        gen, _CELLS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2 — partial kernel
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("sumsq", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+        T.StructField("nodata_count", T.LongType()),
+        T.StructField("nan_count", T.LongType()),
+        T.StructField("vc_vals", T.ArrayType(T.DoubleType())),
+        T.StructField("vc_cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _cell_block(m, tile_row, tile_col, payload, fmt, region):
+    """Pixel block for ``region`` (global window) inside one cell's nominal
+    extent; pixels without stored data become nodata fill (J4 boundless).
+
+    The windowed-read semantics mirror Raster.read (io.py:292-362) with the
+    tile grid taking the place of the rasterio dataset.
+    """
+    (rr0, rr1), (cc0, cc1) = region
+    fill = m["nodata"] if m["nodata"] is not None else -999.0
+    if payload is None:
+        out = np.full((rr1 - rr0, cc1 - cc0), fill, dtype=np.float64)
+        return out
+    block = np.asarray(C.decode_tile(payload, fmt), dtype=np.float64)
+    # window relative to the tile's stored pixels
+    row_off = tile_row * m["tile_h"]
+    col_off = tile_col * m["tile_w"]
+    rel = ((rr0 - row_off, rr1 - row_off), (cc0 - col_off, cc1 - col_off))
+    return K.boundless_array(block, rel, fill)
+
+
+def partial_kernel(
+    joined: DataFrame,
+    meta: dict,
+    *,
+    all_touched: bool,
+    nodata_override,
+    want_counts: bool,
+    zone_func=None,
+) -> DataFrame:
+    """Per-(zone, tile) refine + partial aggregation (J1 refine phase +
+    P2-P5 masks + A1-A15 partial states)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict = {}
+        for pdf in batches:
+            rows = {name: [] for name in _PARTIAL_SCHEMA.fieldNames()}
+            for zid, ds, tc, tr, wkb, payload, fmt in zip(
+                pdf["zone_id"], pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
+                pdf["geometry_wkb"], pdf["bytes"], pdf["fmt"],
+            ):
+                m = meta[ds]
+                aff = m["affine"]
+                key = (zid, ds)
+                cached = geom_cache.get(key)
+                if cached is None:
+                    geom = _effective_geom(wkb, aff)
+                    pgeom = K.geom_to_pixel(geom, aff)
+                    win = K.bounds_window(G.geom_bounds(geom), aff)
+                    cached = (pgeom, win)
+                    if len(geom_cache) > 1024:
+                        geom_cache.clear()
+                    geom_cache[key] = cached
+                pgeom, win = cached
+                (wr0, wr1), (wc0, wc1) = win
+                # region = zone window ∩ this cell's nominal extent
+                rr0 = max(wr0, tr * m["tile_h"])
+                rr1 = min(wr1, (tr + 1) * m["tile_h"])
+                cc0 = max(wc0, tc * m["tile_w"])
+                cc1 = min(wc1, (tc + 1) * m["tile_w"])
+                if rr0 >= rr1 or cc0 >= cc1:
+                    continue
+                region = ((rr0, rr1), (cc0, cc1))
+                rv = K.rasterize_pixgeom(pgeom, region, all_touched=all_touched)
+                if not rv.any():
+                    continue
+                block = _cell_block(m, tr, tc, payload, fmt, region)
+                nd = nodata_override if nodata_override is not None else m["nodata"]
+                nd = -999.0 if nd is None else nd  # io.py:331-340 default
+                if zone_func is not None:
+                    # elementwise pre-transform (main.py:217-228); the masked
+                    # array the user fn sees is this partial's block
+                    is_float = np.issubdtype(block.dtype, np.floating)
+                    isnan = np.isnan(block) if is_float else np.zeros(block.shape, bool)
+                    masked = np.ma.MaskedArray(
+                        block, mask=((block == nd) | isnan | ~rv)
+                    )
+                    ret = zone_func(masked)
+                    if ret is not None:
+                        masked = ret
+                    tblock = np.ma.filled(masked.astype(np.float64), np.nan)
+                    cover2 = ~np.ma.getmaskarray(masked)
+                    p = K.partial_stats(tblock, cover2, None, want_counts)
+                    p["nodata_count"] = int(((block == nd) & rv).sum())
+                    p["nan_count"] = int((isnan & rv).sum())
+                else:
+                    p = K.partial_stats(block, rv, nd, want_counts)
+                if (
+                    p["count"] == 0
+                    and p["nodata_count"] == 0
+                    and p["nan_count"] == 0
+                ):
+                    continue
+                rows["zone_id"].append(zid)
+                rows["count"].append(p["count"])
+                rows["sum"].append(p["sum"])
+                rows["sumsq"].append(p["sumsq"])
+                rows["min"].append(p["min"])
+                rows["max"].append(p["max"])
+                rows["nodata_count"].append(p["nodata_count"])
+                rows["nan_count"].append(p["nan_count"])
+                rows["vc_vals"].append(p["vc_vals"].tolist())
+                rows["vc_cnts"].append(p["vc_cnts"].tolist())
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(gen, _PARTIAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stage 3 — merges
+# ---------------------------------------------------------------------------
+
+
+def _holistic_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
+    fields = [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("median", T.DoubleType()),
+        T.StructField("majority", T.DoubleType()),
+        T.StructField("minority", T.DoubleType()),
+        T.StructField("unique", T.LongType()),
+    ]
+    fields += [T.StructField(p, T.DoubleType()) for p in pctiles]
+    if want_vc:
+        fields.append(
+            T.StructField("value_counts", T.MapType(T.DoubleType(), T.LongType()))
+        )
+    return T.StructType(fields)
+
+
+def holistic_merge(partials: DataFrame, pctiles: list[str], want_vc: bool) -> DataFrame:
+    """Exact holistic stats from merged (value, count) pairs.
+
+    Two JVM-side shuffles with map-side combine do the heavy merge
+    (groupBy zone,value); the per-zone pandas finalize touches only the
+    distinct values of that zone (A7/A8/A9/A10/A12/A15).
+    """
+    exploded = (
+        partials.select(
+            "zone_id", F.explode(F.arrays_zip("vc_vals", "vc_cnts")).alias("kv")
+        )
+        .select(
+            "zone_id",
+            F.col("kv.vc_vals").alias("val"),
+            F.col("kv.vc_cnts").alias("cnt"),
+        )
+        .groupBy("zone_id", "val")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    schema = _holistic_schema(pctiles, want_vc)
+    qs = [K.get_percentile(p) for p in pctiles]
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("val")
+        vals = pdf["val"].to_numpy(dtype=np.float64)
+        cnts = pdf["cnt"].to_numpy(dtype=np.int64)
+        row = {
+            "zone_id": [pdf["zone_id"].iloc[0]],
+            "median": [K.weighted_percentile(vals, cnts, 50.0)],
+            "majority": [float(vals[int(np.argmax(cnts))])],
+            "minority": [float(vals[int(np.argmin(cnts))])],
+            "unique": [int(vals.size)],
+        }
+        for p, q in zip(pctiles, qs):
+            row[p] = [K.weighted_percentile(vals, cnts, q)]
+        if want_vc:
+            row["value_counts"] = [dict(zip(vals.tolist(), cnts.tolist()))]
+        return pd.DataFrame(row)
+
+    return exploded.groupBy("zone_id").applyInPandas(finalize, schema)
+
+
+# ---------------------------------------------------------------------------
+# the operator
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats_df(
+    zones: DataFrame,
+    tiles: DataFrame,
+    datasets: DataFrame,
+    *,
+    dataset: str | None = None,
+    stats=None,
+    all_touched: bool = False,
+    categorical: bool = False,
+    nodata: float | None = None,
+    boundless: bool = True,
+    zone_func=None,
+    broadcast_zones: bool = True,
+    max_cells_per_zone: int = 4_000_000,
+) -> DataFrame:
+    """Zonal statistics of the tile corpus aggregated to zone geometries.
+
+    Parameters mirror gen_zonal_stats (reference main.py:57-156) where they
+    exist; distribution knobs are new. ``zones`` needs (zone_id,
+    geometry_wkb[, dataset]); ``tiles``/``datasets`` follow the corpus
+    schema (fixtures.py). Returns one row per zone_id with requested stat
+    columns (empty zones: count=0, others null — main.py:230-234).
+
+    ``broadcast_zones=True`` hints the cover-cell side into a broadcast
+    hash join so the tile scan is never shuffled — the right plan whenever
+    the zone working set fits executor memory. With huge zone sets, pass
+    False to fall back to a sort-merge join on the tile key.
+    """
+    stats, run_count = K.check_stats(stats, categorical)
+    pctiles = [s for s in stats if s.startswith("percentile_")]
+    want_holistic = run_count or "median" in stats or bool(pctiles)
+    want_vc = bool(categorical)
+    need_missing = boundless and ("nodata" in stats or "nan" in stats)
+
+    meta = collect_dataset_meta(datasets)
+    if dataset is not None:
+        if dataset not in meta:
+            raise ValueError(
+                f"dataset {dataset!r} not in datasets table "
+                f"(have: {sorted(meta)})"
+            )
+        zones = zones.withColumn("dataset", F.lit(dataset))
+
+    cells = zone_cover_cells(
+        zones, meta, clip_to_grid=not need_missing,
+        max_cells_per_zone=max_cells_per_zone,
+    )
+
+    tile_side = tiles.select(
+        "dataset", "tile_col", "tile_row", "bytes", "fmt"
+    )
+    keys = ["dataset", "tile_col", "tile_row"]
+    if need_missing:
+        # left join: absent tiles synthesize boundless nodata fill (J4)
+        joined = cells.join(tile_side, keys, "left")
+    else:
+        left = F.broadcast(cells) if broadcast_zones else cells
+        joined = left.join(tile_side, keys, "inner")
+
+    partials = partial_kernel(
+        joined,
+        meta,
+        all_touched=all_touched,
+        nodata_override=nodata,
+        want_counts=want_holistic or want_vc,
+        zone_func=zone_func,
+    )
+
+    scalars = partials.groupBy("zone_id").agg(
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+        F.sum("sumsq").alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("nodata_count").alias("nodata_count"),
+        F.sum("nan_count").alias("nan_count"),
+    )
+
+    result = zones.select("zone_id").join(scalars, "zone_id", "left")
+    if want_holistic or want_vc:
+        hol = holistic_merge(partials, pctiles, want_vc)
+        result = result.join(hol, "zone_id", "left")
+
+    cnt = F.coalesce(F.col("count"), F.lit(0))
+    nonempty = cnt > 0
+    mean = F.col("sum") / cnt
+    cols = [F.col("zone_id")]
+    for s in stats:
+        if s == "count":
+            cols.append(cnt.alias("count"))
+        elif s == "mean":
+            cols.append(F.when(nonempty, mean).alias("mean"))
+        elif s == "std":
+            # population std from merged moments (A6; ddof=0, main.py:268-269)
+            var = F.col("sumsq") / cnt - mean * mean
+            cols.append(F.when(nonempty, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"))
+        elif s == "range":
+            cols.append(F.when(nonempty, F.col("max") - F.col("min")).alias("range"))
+        elif s in ("min", "max", "sum"):
+            cols.append(F.when(nonempty, F.col(s)).alias(s))
+        elif s == "nodata":
+            cols.append(F.coalesce(F.col("nodata_count"), F.lit(0)).cast("double").alias("nodata"))
+        elif s == "nan":
+            cols.append(F.coalesce(F.col("nan_count"), F.lit(0)).cast("double").alias("nan"))
+        elif s in ("median", "majority", "minority") or s.startswith("percentile_"):
+            cols.append(F.when(nonempty, F.col(s)).alias(s))
+        elif s == "unique":
+            cols.append(F.when(nonempty, F.col("unique")).alias("unique"))
+    if want_vc:
+        cols.append(F.when(nonempty, F.col("value_counts")).alias("value_counts"))
+    return result.select(*cols)

@@ -1,0 +1,33 @@
+"""SparkSession factory with the engine's recommended configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "python_rasterstats_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

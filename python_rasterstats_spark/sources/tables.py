@@ -1,0 +1,139 @@
+"""Corpus table loaders + in-memory ingestion.
+
+The canonical storage is parquet with the BASELINE.json ``input_hint``
+schema (tiles) plus zones/datasets side tables (fixtures.py). At cluster
+scale these would be Iceberg tables partitioned by (dataset, tile_col,
+tile_row buckets); ``spark.read.parquet`` and ``spark.read.format("iceberg")``
+are interchangeable here because the engine only relies on column pruning
+and the tile-key equi-join (partition pruning comes free once the key is a
+partition column).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import codecs as C
+from .. import geom as G
+from .. import kernel as K
+
+
+def load_corpus(spark: SparkSession, directory: str):
+    """(tiles, zones, datasets) DataFrames from a corpus directory."""
+    tiles = spark.read.parquet(os.path.join(directory, "tiles.parquet"))
+    zones = spark.read.parquet(os.path.join(directory, "zones.parquet"))
+    datasets = spark.read.parquet(os.path.join(directory, "datasets.parquet"))
+    return tiles, zones, datasets
+
+
+def raster_to_rows(
+    array: np.ndarray,
+    affine,
+    *,
+    dataset: str = "mem",
+    nodata: float | None = None,
+    fmt: str = "npy",
+    tile: int = 256,
+):
+    """Tile an in-memory ndarray into corpus-schema rows (S6 ndarray path,
+    reference io.py:268-274). Returns (tile_rows, dataset_row)."""
+    h, w = array.shape
+    rows = []
+    for tr in range(math.ceil(h / tile)):
+        for tc in range(math.ceil(w / tile)):
+            block = array[tr * tile : (tr + 1) * tile, tc * tile : (tc + 1) * tile]
+            payload = C.encode_tile(block, fmt)
+            image_id = f"{dataset}/{tc}_{tr}"
+            taff = K.window_affine(
+                ((tr * tile, tr * tile + block.shape[0]),
+                 (tc * tile, tc * tile + block.shape[1])),
+                affine,
+            )
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "bytes": payload,
+                    "w": block.shape[1],
+                    "h": block.shape[0],
+                    "fmt": fmt,
+                    "caption": f"tile {image_id} of {dataset}",
+                    "phash": C.phash64(block),
+                    "dataset": dataset,
+                    "tile_col": tc,
+                    "tile_row": tr,
+                    "affine": [float(v) for v in affine],
+                    "nodata": None if nodata is None else float(nodata),
+                    "dtype": str(array.dtype),
+                    "band_count": 1,
+                }
+            )
+    ds_row = {
+        "dataset": dataset,
+        "affine": [float(v) for v in affine],
+        "height": h,
+        "width": w,
+        "tile_w": tile,
+        "tile_h": tile,
+        "nodata": None if nodata is None else float(nodata),
+        "dtype": str(array.dtype),
+        "fmt": fmt,
+    }
+    return rows, ds_row
+
+
+TILES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, dataset string, tile_col int, tile_row int, "
+    "affine array<double>, nodata double, dtype string, band_count int"
+)
+DATASETS_DDL = (
+    "dataset string, affine array<double>, height int, width int, tile_w int, "
+    "tile_h int, nodata double, dtype string, fmt string"
+)
+ZONES_DDL = (
+    "zone_id long, collection string, geometry_wkb binary, geom_type string, "
+    "properties map<string,string>"
+)
+
+
+def raster_to_tables(
+    spark: SparkSession, array: np.ndarray, affine, **kw
+) -> tuple[DataFrame, DataFrame]:
+    """In-memory ndarray → (tiles, datasets) DataFrames."""
+    rows, ds_row = raster_to_rows(array, affine, **kw)
+    tiles = spark.createDataFrame(rows, schema=TILES_DDL)
+    datasets = spark.createDataFrame([ds_row], schema=DATASETS_DDL)
+    return tiles, datasets
+
+
+def features_to_zones(
+    spark: SparkSession, vectors, layer: int = 0, dataset: str | None = None
+) -> DataFrame:
+    """read_features-equivalent ingestion → zones DataFrame (S1/S3/S4).
+
+    Accepts everything geom.read_features does (WKT/WKB/GeoJSON/mapping/
+    __geo_interface__/iterable — reference io.py:92-139); zone_id preserves
+    input order.
+    """
+    feats = list(G.read_features(vectors, layer))
+    rows = []
+    for i, f in enumerate(feats):
+        g = f["geometry"]
+        props = {str(k): str(v) for k, v in (f.get("properties") or {}).items()}
+        rows.append(
+            {
+                "zone_id": i,
+                "collection": "user",
+                "geometry_wkb": G.wkb_dumps(g),
+                "geom_type": g["type"],
+                "properties": props,
+            }
+        )
+    df = spark.createDataFrame(rows, schema=ZONES_DDL)
+    if dataset is not None:
+        df = df.withColumn("dataset", F.lit(dataset))
+    return df
