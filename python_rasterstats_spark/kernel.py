@@ -519,6 +519,36 @@ def finalize_stats(
 # ---------------------------------------------------------------------------
 
 
+def prepare_zone(
+    geom: dict,
+    array: np.ndarray,
+    aff,
+    *,
+    nodata=None,
+    all_touched: bool = False,
+    boundless: bool = True,
+):
+    """Windowed read + rasterized cover for one feature.
+
+    Returns (block, rv_array, window, fill): the boundless pixel block of
+    the feature's bbox window, the boolean cover mask, the window, and the
+    effective nodata (reference main.py:186-194 + io.py:292-340).
+    """
+    if "Point" in geom["type"]:
+        geom = boxify_points(geom, aff)
+    bounds = G.geom_bounds(geom)
+    win = bounds_window(bounds, aff)
+    if not boundless and beyond_extent(win, array.shape):
+        raise ValueError(
+            "Window/bounds is outside dataset extent, boundless reads are disabled"
+        )
+    fill = -999.0 if nodata is None else nodata  # io.py:331-340 default
+    block = boundless_array(array, win, fill)
+    pgeom = geom_to_pixel(geom, aff)
+    rv = rasterize_pixgeom(pgeom, win, all_touched=all_touched)
+    return block, rv, win, fill
+
+
 def zonal_stats_one(
     geom: dict,
     array: np.ndarray,
@@ -538,19 +568,9 @@ def zonal_stats_one(
     body (main.py:183-302) without GDAL. Returns the stats dict.
     """
     stats, run_count = check_stats(stats, categorical)
-    if "Point" in geom["type"]:
-        geom = boxify_points(geom, aff)
-    bounds = G.geom_bounds(geom)
-    win = bounds_window(bounds, aff)
-    if not boundless and beyond_extent(win, array.shape):
-        raise ValueError(
-            "Window/bounds is outside dataset extent, boundless reads are disabled"
-        )
-    fill = -999.0 if nodata is None else nodata  # io.py:331-340 default
-    block = boundless_array(array, win, fill)
-    pgeom = geom_to_pixel(geom, aff)
-    rv = rasterize_pixgeom(pgeom, win, all_touched=all_touched)
-
+    block, rv, win, fill = prepare_zone(
+        geom, array, aff, nodata=nodata, all_touched=all_touched, boundless=boundless
+    )
     arr = block
     is_float = np.issubdtype(arr.dtype, np.floating)
     isnan = np.isnan(arr) if is_float else np.zeros(arr.shape, dtype=bool)

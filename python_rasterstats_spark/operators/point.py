@@ -1,0 +1,216 @@
+"""Distributed point query — raster values at geometry vertices.
+
+Replaces the reference's per-vertex loop (point.py:169-199) with:
+
+    zones ──mapInPandas──▶ vertex windows: one row per (vertex, covering
+                           tile), carrying the ≤4 needed pixel positions
+                           (a 2×2 bilinear window can straddle up to 4
+                           tiles — the seam case, J3)
+                │ LEFT equi-join on tile key (missing tile → masked)
+    tiles ──────┘
+                ▼ mapInPandas gather: decode payload once per tile per
+                  batch, emit (vertex, pos, value|null)
+                ▼ groupBy(zone_id, vertex_idx) applyInPandas:
+                  bilinear w/ masked-nearest fallback (point.py:29-65)
+                  or nearest (point.py:179-189)
+
+Returns (zone_id, vertex_idx, value). The API layer reassembles the
+reference's scalar-or-list output shape (point.py:198-199).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import codecs as C
+from .. import geom as G
+from .. import kernel as K
+from .zonal import collect_dataset_meta
+
+_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("vertex_idx", T.IntegerType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("tile_col", T.IntegerType()),
+        T.StructField("tile_row", T.IntegerType()),
+        T.StructField("prows", T.ArrayType(T.IntegerType())),
+        T.StructField("pcols", T.ArrayType(T.IntegerType())),
+        T.StructField("poss", T.ArrayType(T.IntegerType())),
+        T.StructField("ux", T.DoubleType()),
+        T.StructField("uy", T.DoubleType()),
+    ]
+)
+
+_GATHER_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("vertex_idx", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ux", T.DoubleType()),
+        T.StructField("uy", T.DoubleType()),
+    ]
+)
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("vertex_idx", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def point_query_df(
+    zones: DataFrame,
+    tiles: DataFrame,
+    datasets: DataFrame,
+    *,
+    dataset: str | None = None,
+    interpolate: str = "bilinear",
+    nodata: float | None = None,
+    boundless: bool = True,
+) -> DataFrame:
+    """Raster values at each vertex of each zone geometry (J3 kNN join:
+    k=1 nearest / k=4 bilinear grid neighbors)."""
+    if interpolate not in ("nearest", "bilinear"):
+        raise ValueError("interpolate must be nearest or bilinear")
+    meta = collect_dataset_meta(datasets)
+    if dataset is not None:
+        if dataset not in meta:
+            raise ValueError(f"dataset {dataset!r} not in datasets table")
+        zones = zones.withColumn("dataset", F.lit(dataset))
+    bilin = interpolate == "bilinear"
+
+    def explode_vertices(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {name: [] for name in _WINDOWS_SCHEMA.fieldNames()}
+            for zid, ds, wkb in zip(
+                pdf["zone_id"], pdf["dataset"], pdf["geometry_wkb"]
+            ):
+                m = meta.get(ds)
+                if m is None:
+                    raise ValueError(f"zone {zid}: unknown dataset {ds!r}")
+                aff = m["affine"]
+                geom = G.wkb_loads(bytes(wkb))
+                for vi, (x, y) in enumerate(G.geom_vertices(geom)):
+                    if bilin:
+                        win, (ux, uy) = K.point_window_unitxy(x, y, aff)
+                    else:
+                        r, c = K.rowcol(x, y, aff)
+                        win, (ux, uy) = ((r, r + 1), (c, c + 1)), (0.0, 0.0)
+                    if not boundless and K.beyond_extent(
+                        win, (m["height"], m["width"])
+                    ):
+                        raise ValueError(
+                            "Window/bounds is outside dataset extent, "
+                            "boundless reads are disabled"
+                        )
+                    (r0, r1), (c0, c1) = win
+                    by_tile: dict = {}
+                    for pos, (pr, pc) in enumerate(
+                        (pr, pc) for pr in range(r0, r1) for pc in range(c0, c1)
+                    ):
+                        key = (
+                            math.floor(pc / m["tile_w"]),
+                            math.floor(pr / m["tile_h"]),
+                        )
+                        by_tile.setdefault(key, []).append((pr, pc, pos))
+                    for (tc, tr), pix in by_tile.items():
+                        rows["zone_id"].append(zid)
+                        rows["vertex_idx"].append(vi)
+                        rows["dataset"].append(ds)
+                        rows["tile_col"].append(tc)
+                        rows["tile_row"].append(tr)
+                        rows["prows"].append([p[0] for p in pix])
+                        rows["pcols"].append([p[1] for p in pix])
+                        rows["poss"].append([p[2] for p in pix])
+                        rows["ux"].append(ux)
+                        rows["uy"].append(uy)
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
+
+    windows = zones.select("zone_id", "dataset", "geometry_wkb").mapInPandas(
+        explode_vertices, _WINDOWS_SCHEMA
+    )
+
+    joined = F.broadcast(windows).join(
+        tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
+        ["dataset", "tile_col", "tile_row"],
+        "left",
+    )
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode_cache: dict = {}
+        for pdf in batches:
+            rows = {name: [] for name in _GATHER_SCHEMA.fieldNames()}
+            for (
+                zid, vi, ds, tc, tr, prows, pcols, poss, ux, uy, payload, fmt
+            ) in zip(
+                pdf["zone_id"], pdf["vertex_idx"], pdf["dataset"],
+                pdf["tile_col"], pdf["tile_row"], pdf["prows"], pdf["pcols"],
+                pdf["poss"], pdf["ux"], pdf["uy"], pdf["bytes"], pdf["fmt"],
+            ):
+                m = meta[ds]
+                nd = nodata if nodata is not None else m["nodata"]
+                nd = -999.0 if nd is None else nd
+                block = None
+                if payload is not None:
+                    key = (ds, tc, tr)
+                    block = decode_cache.get(key)
+                    if block is None:
+                        if len(decode_cache) > 256:
+                            decode_cache.clear()
+                        block = np.asarray(
+                            C.decode_tile(bytes(payload), fmt), dtype=np.float64
+                        )
+                        decode_cache[key] = block
+                for pr, pc, pos in zip(prows, pcols, poss):
+                    val = None
+                    if block is not None:
+                        rr = pr - tr * m["tile_h"]
+                        cc = pc - tc * m["tile_w"]
+                        if 0 <= rr < block.shape[0] and 0 <= cc < block.shape[1]:
+                            v = float(block[rr, cc])
+                            # masked-read semantics: nodata → masked
+                            # (io.py:218-219 with masked=True)
+                            if v != nd:
+                                val = v
+                    rows["zone_id"].append(zid)
+                    rows["vertex_idx"].append(vi)
+                    rows["pos"].append(pos)
+                    rows["value"].append(val)
+                    rows["ux"].append(ux)
+                    rows["uy"].append(uy)
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
+
+    gathered = joined.mapInPandas(gather, _GATHER_SCHEMA)
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        zid = pdf["zone_id"].iloc[0]
+        vi = pdf["vertex_idx"].iloc[0]
+        if not bilin:
+            v = pdf.loc[pdf["pos"] == 0, "value"]
+            out = None if v.empty or pd.isna(v.iloc[0]) else float(v.iloc[0])
+        else:
+            vals = np.full(4, np.nan)
+            for pos, v in zip(pdf["pos"], pdf["value"]):
+                if not pd.isna(v):
+                    vals[int(pos)] = v
+            arr = np.ma.MaskedArray(vals.reshape(2, 2), mask=np.isnan(vals).reshape(2, 2))
+            v = K.bilinear(arr, float(pdf["ux"].iloc[0]), float(pdf["uy"].iloc[0]))
+            out = None if v is None else float(v)
+        return pd.DataFrame(
+            {"zone_id": [zid], "vertex_idx": [vi], "value": [out]}
+        )
+
+    return gathered.groupBy("zone_id", "vertex_idx").applyInPandas(
+        interp, _RESULT_SCHEMA
+    )
