@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship zonal-statistics query; ``queries()``
+exposes every implemented operator (SURVEY.md §2 + the training-pipeline
+ops) as (spark, sf_dir) callables; ``oracle_sql()`` gives the DuckDB
+equivalents. Zonal/point/tile queries run over the deterministic synthetic
+corpus in the BASELINE.json input_hint schema (data/zonal_fixtures,
+regenerated on demand by fixtures.ensure_fixtures); document/embedding
+queries run over the driver-provided sf tables.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIX = os.path.join(REPO, "data", "zonal_fixtures")
+
+
+def _fixture_corpus(spark: SparkSession):
+    from python_rasterstats_spark.fixtures import ensure_fixtures
+    from python_rasterstats_spark.sources.tables import load_corpus
+
+    return load_corpus(spark, ensure_fixtures(FIX))
+
+
+def _zonal(spark, collections, dataset, **kw):
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    if isinstance(collections, str):
+        collections = [collections]
+    return zonal_stats_df(
+        zones.filter(F.col("collection").isin(collections)), tiles, datasets,
+        dataset=dataset, **kw,
+    )
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full-stat zonal statistics of the polygons collection over
+    the slope tile corpus, with sf0.001 corpus provenance attached."""
+    out = _zonal(
+        spark, "polygons", "slope",
+        stats="count min max mean sum std median majority minority unique "
+              "range nodata nan percentile_25 percentile_90",
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prov = docs.agg(F.count("*").alias("sf_docs"))
+    return out.crossJoin(F.broadcast(prov)).orderBy("zone_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_zonal_default(spark, sf_dir):
+    out = _zonal(spark, "polygons", "slope")
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def q_zonal_all_stats(spark, sf_dir):
+    out = _zonal(
+        spark, "polygons", "slope",
+        stats="count min max mean sum std median majority minority unique "
+              "range nodata nan percentile_25 percentile_90",
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+        F.round("sum", 6).alias("sum_r"),
+        F.round("std", 6).alias("std_r"),
+        F.round("median", 6).alias("median_r"),
+        F.round("majority", 6).alias("majority_r"),
+        F.round("minority", 6).alias("minority_r"),
+        F.col("unique").alias("uniq"),
+        F.round("range", 6).alias("range_r"),
+        F.col("nodata").alias("nodata_cnt"),
+        F.col("nan").alias("nan_cnt"),
+        F.round("percentile_25", 6).alias("p25_r"),
+        F.round("percentile_90", 6).alias("p90_r"),
+    )
+
+
+def q_zonal_all_touched(spark, sf_dir):
+    out = _zonal(spark, "polygons", "slope", all_touched=True, stats=["count"])
+    return out.select("zone_id", F.col("count").alias("cnt"))
+
+
+def q_zonal_categorical(spark, sf_dir):
+    out = _zonal(
+        spark, "polygons", "slope_classes", categorical=True, stats=["count"]
+    )
+    return out.select(
+        "zone_id", F.explode("value_counts").alias("val", "cnt")
+    ).select("zone_id", "val", "cnt")
+
+
+def q_zonal_nodata_holes(spark, sf_dir):
+    out = _zonal(spark, "polygons", "slope_nodata", stats=["count", "nodata"])
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"), F.col("nodata").alias("nodata_cnt")
+    )
+
+
+def q_zonal_all_nodata(spark, sf_dir):
+    out = _zonal(spark, "polygons", "all_nodata", stats=["count", "nodata"])
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"), F.col("nodata").alias("nodata_cnt")
+    )
+
+
+def q_zonal_dataset_mask(spark, sf_dir):
+    out = _zonal(spark, "polygons", "dataset_mask", stats=["count"])
+    return out.select("zone_id", F.col("count").alias("cnt"))
+
+
+def q_zonal_points(spark, sf_dir):
+    out = _zonal(spark, "points", "slope", stats=["count", "mean"])
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"), F.round("mean", 6).alias("mean_r")
+    )
+
+
+def q_zonal_lines(spark, sf_dir):
+    out = _zonal(spark, "lines", "slope", stats=["count", "mean"])
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"), F.round("mean", 6).alias("mean_r")
+    )
+
+
+def q_zonal_multigeom(spark, sf_dir):
+    out = _zonal(
+        spark, ["multipolygons", "multilines", "multipoints"], "slope",
+        stats=["count"],
+    )
+    return out.select("zone_id", F.col("count").alias("cnt"))
+
+
+def q_zonal_overlap_edges(spark, sf_dir):
+    out = _zonal(
+        spark, ["polygons_partial_overlap", "polygons_no_overlap"], "slope",
+        stats=["count"],
+    )
+    return out.select("zone_id", F.col("count").alias("cnt"))
+
+
+def q_point_nearest(spark, sf_dir):
+    from python_rasterstats_spark.operators.point import point_query_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    out = point_query_df(
+        zones.filter(F.col("collection") == "query_points"), tiles, datasets,
+        dataset="slope", interpolate="nearest",
+    )
+    return out.select(
+        "zone_id",
+        F.col("vertex_idx").cast("long").alias("vertex_idx"),
+        F.round("value", 6).alias("value_r"),
+    )
+
+
+def q_point_bilinear(spark, sf_dir):
+    from python_rasterstats_spark.operators.point import point_query_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    out = point_query_df(
+        zones.filter(F.col("collection") == "query_points"), tiles, datasets,
+        dataset="slope", interpolate="bilinear",
+    )
+    return out.select(
+        "zone_id",
+        F.col("vertex_idx").cast("long").alias("vertex_idx"),
+        F.round("value", 6).alias("value_r"),
+    )
+
+
+def q_tile_decode_stats(spark, sf_dir):
+    from python_rasterstats_spark.functions.multimodal import tile_stats
+
+    tiles, _, _ = _fixture_corpus(spark)
+    return tile_stats(tiles)
+
+
+def q_frame_sample(spark, sf_dir):
+    from python_rasterstats_spark.functions.multimodal import frame_sample
+
+    tiles, _, _ = _fixture_corpus(spark)
+    return frame_sample(tiles, every=4)
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import exact_dups
+
+    return exact_dups(_docs(spark, sf_dir))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import token_stats
+
+    out = token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        F.col("uniq_token_cnt").cast("long").alias("uniq_token_cnt"),
+        "avg_token_len",
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import quality_scores
+
+    out = quality_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_chars",
+        F.col("word_cnt").cast("long").alias("word_cnt"),
+        F.col("stop_cnt").cast("long").alias("stop_cnt"),
+        "stop_ratio", "distinct_ratio", "quality_bucket",
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.4)
+
+
+def q_ann_cosine(spark, sf_dir):
+    from python_rasterstats_spark.functions.similarity import cosine_neighbors
+
+    return cosine_neighbors(_emb(spark, sf_dir), query_max_id=5, threshold=0.25)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from python_rasterstats_spark.functions.similarity import cosine_topk
+
+    out = cosine_topk(_emb(spark, sf_dir), query_max_id=5, k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_r"
+    )
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), n=3, k=32, bands=8)
+
+
+def q_doc_simhash(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from python_rasterstats_spark.functions.similarity import lsh_ann
+
+    return lsh_ann(_emb(spark, sf_dir), nplanes=8, query_max_id=5, threshold=0.25)
+
+
+def q_tile_resize(spark, sf_dir):
+    from python_rasterstats_spark.functions.multimodal import resize_tiles
+
+    tiles, _, _ = _fixture_corpus(spark)
+    out = resize_tiles(tiles, out=8)
+    # binary payload isn't hashable cross-engine; surface its digest
+    return out.select(
+        "image_id", "out_w", "out_h", F.md5(F.col("bytes")).alias("payload_md5")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "zonal_default": q_zonal_default,
+        "zonal_all_stats": q_zonal_all_stats,
+        "zonal_all_touched": q_zonal_all_touched,
+        "zonal_categorical": q_zonal_categorical,
+        "zonal_nodata_holes": q_zonal_nodata_holes,
+        "zonal_all_nodata": q_zonal_all_nodata,
+        "zonal_dataset_mask": q_zonal_dataset_mask,
+        "zonal_points": q_zonal_points,
+        "zonal_lines": q_zonal_lines,
+        "zonal_multigeom": q_zonal_multigeom,
+        "zonal_overlap_edges": q_zonal_overlap_edges,
+        "point_nearest": q_point_nearest,
+        "point_bilinear": q_point_bilinear,
+        "tile_decode_stats": q_tile_decode_stats,
+        "frame_sample": q_frame_sample,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only checks (hash-family ops with no SQL twin):
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "ann_lsh": q_ann_lsh,
+        "tile_resize": q_tile_resize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Zonal/point/tile oracles read the committed fixture
+# parquet directly; document/embedding oracles use the pre-registered views.
+# ---------------------------------------------------------------------------
+
+_COVER = f"read_parquet('{FIX}/oracle_cover.parquet')"
+_PIX = f"read_parquet('{FIX}/oracle_pixels.parquet')"
+
+_VALID_JOIN = """
+WITH cover AS (SELECT zone_id, dataset, prow, pcol FROM {cover} WHERE query IN ({queries})),
+pix AS (SELECT dataset, prow, pcol, value, is_nodata, is_nan FROM {pix}),
+j AS (SELECT c.zone_id, p.value,
+             coalesce(p.is_nodata, true) AS bad_nodata,
+             coalesce(p.is_nan, true) AS bad_nan
+      FROM cover c LEFT JOIN pix p
+        ON p.dataset = c.dataset AND p.prow = c.prow AND p.pcol = c.pcol)
+"""
+
+
+def _valid_join(queries_in: str) -> str:
+    return _VALID_JOIN.format(cover=_COVER, pix=_PIX, queries=queries_in)
+
+
+_BANKERS = (
+    "CASE WHEN {v} = floor({v}) + 0.5 "
+    "THEN CAST(floor({v}) AS BIGINT) + abs(CAST(floor({v}) AS BIGINT) % 2) "
+    "ELSE CAST(round({v}) AS BIGINT) END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["zonal_default"] = _valid_join("'polygons_slope_default'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       round(min(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS min_r,
+       round(max(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS max_r,
+       round(avg(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS mean_r
+FROM j GROUP BY zone_id
+"""
+
+    sql["zonal_all_stats"] = _valid_join("'polygons_slope_all'") + """
+, v AS (SELECT zone_id, value FROM j WHERE NOT bad_nodata AND NOT bad_nan),
+maj AS (
+  SELECT zone_id, value AS majority_val FROM (
+    SELECT zone_id, value,
+           row_number() OVER (PARTITION BY zone_id ORDER BY count(*) DESC, value ASC) rn
+    FROM v GROUP BY zone_id, value) WHERE rn = 1),
+mino AS (
+  SELECT zone_id, value AS minority_val FROM (
+    SELECT zone_id, value,
+           row_number() OVER (PARTITION BY zone_id ORDER BY count(*) ASC, value ASC) rn
+    FROM v GROUP BY zone_id, value) WHERE rn = 1),
+nd AS (SELECT zone_id,
+              CAST(count(*) FILTER (WHERE bad_nodata) AS DOUBLE) AS nodata_sum,
+              CAST(count(*) FILTER (WHERE bad_nan AND value IS NOT NULL) AS DOUBLE) AS nan_sum
+       FROM j GROUP BY zone_id)
+SELECT v.zone_id,
+       count(*) AS cnt,
+       round(min(v.value), 6) AS min_r,
+       round(max(v.value), 6) AS max_r,
+       round(avg(v.value), 6) AS mean_r,
+       round(sum(v.value), 6) AS sum_r,
+       round(stddev_pop(v.value), 6) AS std_r,
+       round(quantile_cont(v.value, 0.5), 6) AS median_r,
+       round(any_value(maj.majority_val), 6) AS majority_r,
+       round(any_value(mino.minority_val), 6) AS minority_r,
+       count(DISTINCT v.value) AS uniq,
+       round(max(v.value) - min(v.value), 6) AS range_r,
+       any_value(nd.nodata_sum) AS nodata_cnt,
+       any_value(nd.nan_sum) AS nan_cnt,
+       round(quantile_cont(v.value, 0.25), 6) AS p25_r,
+       round(quantile_cont(v.value, 0.90), 6) AS p90_r
+FROM v JOIN maj USING (zone_id) JOIN mino USING (zone_id) JOIN nd USING (zone_id)
+GROUP BY v.zone_id
+"""
+
+    sql["zonal_all_touched"] = _valid_join("'polygons_slope_touched'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt
+FROM j GROUP BY zone_id
+"""
+
+    sql["zonal_categorical"] = _valid_join("'polygons_classes_categorical'") + """
+SELECT zone_id, value AS val, count(*) AS cnt
+FROM j WHERE NOT bad_nodata AND NOT bad_nan
+GROUP BY zone_id, value
+"""
+
+    for name, qn in (
+        ("zonal_nodata_holes", "polygons_slope_nodata"),
+        ("zonal_all_nodata", "polygons_all_nodata"),
+    ):
+        sql[name] = _valid_join(f"'{qn}'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       CAST(count(*) FILTER (WHERE bad_nodata) AS DOUBLE) AS nodata_cnt
+FROM j GROUP BY zone_id
+"""
+
+    sql["zonal_dataset_mask"] = _valid_join("'polygons_dataset_mask'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt
+FROM j GROUP BY zone_id
+"""
+
+    for name, qn, with_mean in (
+        ("zonal_points", "points_slope", True),
+        ("zonal_lines", "lines_slope", True),
+        (
+            "zonal_multigeom",
+            "multipolygons_slope','multilines_slope','multipoints_slope",
+            False,
+        ),
+        (
+            "zonal_overlap_edges",
+            "partial_overlap_slope','no_overlap_slope",
+            False,
+        ),
+    ):
+        mean_sel = (
+            ",\n       round(avg(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS mean_r"
+            if with_mean
+            else ""
+        )
+        sql[name] = _valid_join(f"'{qn}'") + f"""
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt{mean_sel}
+FROM j GROUP BY zone_id
+"""
+
+    # point queries — full interpolation math in SQL (affine constants from
+    # fixtures.AFF_SLOPE)
+    a, c0 = 25.52514657450613, 244300.61494985913
+    e, f0 = -25.52514657450613, 1000868.7876863468
+    qv = f"read_parquet('{FIX}/query_vertices.parquet')"
+
+    sql["point_nearest"] = f"""
+WITH q AS (SELECT zone_id, CAST(vertex_idx AS BIGINT) vertex_idx,
+                  CAST(floor((y - {f0!r}) / {e!r}) AS BIGINT) pr,
+                  CAST(floor((x - {c0!r}) / {a!r}) AS BIGINT) pc
+           FROM {qv}),
+pix AS (SELECT prow, pcol, value, is_nodata FROM {_PIX} WHERE dataset = 'slope')
+SELECT q.zone_id, q.vertex_idx,
+       CASE WHEN p.value IS NULL OR p.is_nodata THEN NULL
+            ELSE round(p.value, 6) END AS value_r
+FROM q LEFT JOIN pix p ON p.prow = q.pr AND p.pcol = q.pc
+"""
+
+    br = _BANKERS.format(v="frow")
+    bc = _BANKERS.format(v="fcol")
+    sql["point_bilinear"] = f"""
+WITH q0 AS (SELECT zone_id, CAST(vertex_idx AS BIGINT) vertex_idx,
+                   (x - {c0!r}) / {a!r} AS fcol,
+                   (y - {f0!r}) / {e!r} AS frow
+            FROM {qv}),
+rc AS (SELECT *, {br} AS r, {bc} AS c FROM q0),
+u AS (SELECT *, 0.5 - (c - fcol) AS ux, 0.5 + (r - frow) AS uy FROM rc),
+pix AS (SELECT prow, pcol, value, is_nodata FROM {_PIX} WHERE dataset = 'slope'),
+g AS (SELECT u.zone_id, u.vertex_idx, u.ux, u.uy,
+             pa.value AS va, coalesce(pa.is_nodata, true) AS ma,
+             pb.value AS vb, coalesce(pb.is_nodata, true) AS mb,
+             pc2.value AS vc, coalesce(pc2.is_nodata, true) AS mc,
+             pd.value AS vd, coalesce(pd.is_nodata, true) AS md
+      FROM u
+      LEFT JOIN pix pa ON pa.prow = u.r - 1 AND pa.pcol = u.c - 1
+      LEFT JOIN pix pb ON pb.prow = u.r - 1 AND pb.pcol = u.c
+      LEFT JOIN pix pc2 ON pc2.prow = u.r AND pc2.pcol = u.c - 1
+      LEFT JOIN pix pd ON pd.prow = u.r AND pd.pcol = u.c)
+SELECT zone_id, vertex_idx,
+  round(CASE
+    WHEN NOT ma AND NOT mb AND NOT mc AND NOT md THEN
+      vc*(1-ux)*(1-uy) + vd*ux*(1-uy) + va*(1-ux)*uy + vb*ux*uy
+    WHEN (CASE WHEN (1-uy) = 0.5 THEN 0 ELSE CAST(round(1-uy) AS INT) END) = 0 THEN
+      CASE WHEN (CASE WHEN ux = 0.5 THEN 0 ELSE CAST(round(ux) AS INT) END) = 0
+           THEN (CASE WHEN ma THEN NULL ELSE va END)
+           ELSE (CASE WHEN mb THEN NULL ELSE vb END) END
+    ELSE
+      CASE WHEN (CASE WHEN ux = 0.5 THEN 0 ELSE CAST(round(ux) AS INT) END) = 0
+           THEN (CASE WHEN mc THEN NULL ELSE vc END)
+           ELSE (CASE WHEN md THEN NULL ELSE vd END) END
+  END, 6) AS value_r
+FROM g
+"""
+
+    sql["tile_decode_stats"] = (
+        f"SELECT image_id, dataset, w, h, mean_r, min_r, max_r, valid_cnt, "
+        f"phash_check FROM read_parquet('{FIX}/oracle_tile_stats.parquet')"
+    )
+
+    sql["frame_sample"] = f"""
+SELECT dataset, frame_idx, image_id, caption, phash FROM (
+  SELECT dataset, caption, phash, image_id,
+         CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS INT) AS frame_idx
+  FROM read_parquet('{FIX}/tiles.parquet'))
+WHERE frame_idx % 4 = 0
+"""
+
+    sql["doc_dedup_exact"] = """
+SELECT doc_id, md5(text) AS text_hash,
+       count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+FROM documents
+"""
+
+    sql["doc_token_stats"] = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks,
+                  regexp_replace(trim(text), '\s+', '', 'g') joined
+           FROM documents)
+SELECT doc_id, len(toks) AS token_cnt,
+       len(list_distinct(toks)) AS uniq_token_cnt,
+       round(CAST(length(joined) AS DOUBLE) / len(toks), 6) AS avg_token_len
+FROM t
+"""
+
+    sql["doc_quality"] = """
+WITH t AS (SELECT doc_id, n_chars, string_split(trim(text), ' ') toks FROM documents),
+s AS (SELECT doc_id, n_chars, len(toks) word_cnt,
+             len(list_filter(toks, x -> x IN ('the', 'a'))) stop_cnt,
+             len(list_distinct(toks)) uniq_cnt
+      FROM t)
+SELECT doc_id, n_chars, word_cnt, stop_cnt,
+       round(CAST(stop_cnt AS DOUBLE) / word_cnt, 6) AS stop_ratio,
+       round(CAST(uniq_cnt AS DOUBLE) / word_cnt, 6) AS distinct_ratio,
+       CASE WHEN CAST(uniq_cnt AS DOUBLE) / word_cnt < 0.3 THEN 'repetitive'
+            WHEN word_cnt < 20 THEN 'short' ELSE 'ok' END AS quality_bucket
+FROM s
+"""
+
+    sql["doc_langid"] = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') toks FROM documents)
+SELECT doc_id,
+       round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+             / len(toks), 6) AS en_score,
+       CASE WHEN CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+                 / len(toks) > 0.0 THEN 'en' ELSE 'und' END AS lang_pred
+FROM t
+"""
+
+    sql["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
+FROM documents
+"""
+
+    sql["doc_ngram_jaccard"] = """
+WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') toks FROM documents),
+s AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+          FROM s a JOIN s b
+            ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard_r
+FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+"""
+
+    _dot = (
+        "list_sum(list_transform(range(1, len({x}) + 1), "
+        "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+    )
+    cos = (
+        _dot.format(x="q.qv", y="e.embedding")
+        + " / (sqrt(" + _dot.format(x="q.qv", y="q.qv") + ")"
+        + " * sqrt(" + _dot.format(x="e.embedding", y="e.embedding") + "))"
+    )
+    sql["ann_cosine"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_r
+FROM c WHERE cos >= 0.25
+"""
+
+    sql["ann_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       neighbor_id, round(cos, 6) AS cos_r
+FROM c
+QUALIFY rank <= 5
+"""
+    return sql
+
+
+if __name__ == "__main__":
+    from python_rasterstats_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entry(spark)
+    df.show(5)
+    print("queries:", len(queries()), "oracles:", len(oracle_sql()))

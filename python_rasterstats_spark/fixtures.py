@@ -652,6 +652,36 @@ def write_oracles(outdir: str, arrays=None, zones=None) -> dict:
              ("x", pa.float64()), ("y", pa.float64())]
         ),
     )
+    # per-tile decoded-pixel stats (multimodal decode oracle): computed from
+    # the DECODED payload so lossy fmts compare exactly against the engine
+    ts = {k: [] for k in ("image_id", "dataset", "w", "h", "mean_r", "min_r",
+                          "max_r", "valid_cnt", "phash_check")}
+    for row in _tiles_rows(arrays):
+        arr = np.asarray(C.decode_tile(row["bytes"], row["fmt"]), dtype=np.float64)
+        valid = np.isfinite(arr)
+        if row["nodata"] is not None:
+            valid &= arr != row["nodata"]
+        vals = arr[valid]
+        ts["image_id"].append(row["image_id"])
+        ts["dataset"].append(row["dataset"])
+        ts["h"].append(arr.shape[0])
+        ts["w"].append(arr.shape[1])
+        ts["mean_r"].append(round(float(vals.mean()), 6) if vals.size else None)
+        ts["min_r"].append(round(float(vals.min()), 6) if vals.size else None)
+        ts["max_r"].append(round(float(vals.max()), 6) if vals.size else None)
+        ts["valid_cnt"].append(int(vals.size))
+        ts["phash_check"].append(C.phash64(arr))
+    _write(
+        os.path.join(outdir, "oracle_tile_stats.parquet"),
+        ts,
+        pa.schema(
+            [("image_id", pa.string()), ("dataset", pa.string()),
+             ("w", pa.int32()), ("h", pa.int32()), ("mean_r", pa.float64()),
+             ("min_r", pa.float64()), ("max_r", pa.float64()),
+             ("valid_cnt", pa.int64()), ("phash_check", pa.int64())]
+        ),
+    )
+
     _write(
         os.path.join(outdir, "expected_point.parquet"),
         ep,

@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Exact + Jaccard have DuckDB oracles (pure relational algebra). MinHash and
+SimHash use Spark's xxhash64 (no DuckDB twin) → rows-only checks; their
+statistical behavior is asserted in tests instead (est. Jaccard vs true
+Jaccard on known near-duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy dedup).
+
+    One row per document: (doc_id, text_hash, dup_count, keeper_id) where
+    keeper_id is the smallest doc_id sharing the hash. Shuffle is one
+    hash-partition on text_hash; no driver-side state.
+    """
+    h = F.md5(F.col("text")).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", h)
+        .withColumn("dup_count", F.count("*").over(w))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .select("doc_id", "text_hash", "dup_count", "keeper_id")
+    )
+
+
+def _shingles(n: int = 3):
+    """Distinct n-token shingles of the text column (JVM higher-order fns)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.4, block: str = "source"
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram shingle Jaccard within blocks.
+
+    The block column (default ``source``) bounds the self-join — the
+    standard blocking trick that turns O(N²) into Σ O(B²). Exact Jaccard,
+    no sketching: (doc_a, doc_b, jaccard_r ≥ threshold).
+    """
+    toks = F.split(F.trim(F.col("text")), " ")
+    sh = (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.col(block).alias("block"), _shingles(n).alias("shingles"))
+        .select("doc_id", "block", F.explode("shingles").alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame:
+    """MinHash signatures: k independent min-hashes over n-gram shingles.
+
+    Hash family: xxhash64(shingle, seed_i) — JVM-side, vectorized; the
+    signature is an array<long> column (shingle→minhash step of
+    MinHash+LSH dedup).
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(k)
+        ]
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", _shingles(n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", sig.alias("signature"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, *, n: int = 3, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs + estimated
+    Jaccard (fraction of agreeing signature positions).
+
+    band→bucket-join: each band of r=k/bands hashes becomes a bucket key;
+    docs sharing any bucket become candidates (one shuffle on bucket key).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, n=n, k=k)
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", bi * r + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(k))
+    return cands.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+
+    Pure JVM expressions: for each bit, sum ±1 votes from xxhash64(token)
+    and pack the sign bits. Hamming-close simhashes ≈ similar documents.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    packed = None
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return docs.select("doc_id", packed.alias("simhash"))

@@ -1,0 +1,136 @@
+"""Multimodal payload operators — image bytes as opaque binary + metadata.
+
+The Spark-side plumbing (schema, Arrow batching, partition behavior) is
+real and tested; pixel work happens in ``mapInPandas`` over the corpus's
+``bytes``/``fmt`` columns using the in-repo codecs. Codecs for formats that
+require imaging libraries absent from this container (real JPEG) raise
+NotImplementedError at decode time (codecs._qnt8_decode) — the clearly
+marked stub boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from .. import codecs as C
+
+_TILE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("min_r", T.DoubleType()),
+        T.StructField("max_r", T.DoubleType()),
+        T.StructField("valid_cnt", T.LongType()),
+        T.StructField("phash_check", T.LongType()),
+    ]
+)
+
+
+def tile_stats(tiles: DataFrame) -> DataFrame:
+    """Decode every payload and emit per-tile pixel statistics + phash
+    recomputation — the decode/feature-extract stage of an image pipeline.
+
+    Arrow-batched; decodes each payload exactly once; no per-row Python
+    (input_hint requirement)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in _TILE_STATS_SCHEMA.fields}
+            for image_id, ds, payload, fmt, nodata in zip(
+                pdf["image_id"], pdf["dataset"], pdf["bytes"], pdf["fmt"],
+                pdf["nodata"],
+            ):
+                arr = np.asarray(
+                    C.decode_tile(bytes(payload), fmt), dtype=np.float64
+                )
+                valid = np.isfinite(arr)
+                if nodata is not None and not pd.isna(nodata):
+                    valid &= arr != float(nodata)
+                vals = arr[valid]
+                rows["image_id"].append(image_id)
+                rows["dataset"].append(ds)
+                rows["h"].append(arr.shape[0])
+                rows["w"].append(arr.shape[1])
+                rows["mean_r"].append(
+                    round(float(vals.mean()), 6) if vals.size else None
+                )
+                rows["min_r"].append(
+                    round(float(vals.min()), 6) if vals.size else None
+                )
+                rows["max_r"].append(
+                    round(float(vals.max()), 6) if vals.size else None
+                )
+                rows["valid_cnt"].append(int(vals.size))
+                rows["phash_check"].append(C.phash64(arr))
+            yield pd.DataFrame(rows)
+
+    return tiles.select(
+        "image_id", "dataset", "bytes", "fmt", "nodata"
+    ).mapInPandas(gen, _TILE_STATS_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_tiles(tiles: DataFrame, *, out: int = 8, method: str = "blockmean") -> DataFrame:
+    """Downsample every tile to out×out via block means (a deterministic
+    stand-in for interpolated image resize; real Lanczos/bicubic needs
+    imaging libs absent here — the Spark plumbing is identical)."""
+    if method != "blockmean":
+        raise NotImplementedError(
+            "only 'blockmean' resize is available without imaging libraries"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in _RESIZE_SCHEMA.fields}
+            for image_id, payload, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = np.asarray(C.decode_tile(bytes(payload), fmt), dtype=np.float64)
+                h, w = arr.shape
+                ph, pw = (-h) % out, (-w) % out
+                if ph or pw:
+                    arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+                hb, wb = arr.shape[0] // out, arr.shape[1] // out
+                small = arr.reshape(out, hb, out, wb).mean(axis=(1, 3)).astype(
+                    np.float32
+                )
+                rows["image_id"].append(image_id)
+                rows["out_h"].append(out)
+                rows["out_w"].append(out)
+                rows["bytes"].append(C.encode_tile(small, "npy"))
+                rows["fmt"].append("npy")
+            yield pd.DataFrame(rows)
+
+    return tiles.select("image_id", "bytes", "fmt").mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+def frame_sample(tiles: DataFrame, *, every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-like sequences: keeps every k-th
+    tile of each dataset ordered by (tile_row, tile_col). Video decode
+    itself is out of scope without codecs — this models the partition-safe
+    selection stage."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("dataset").orderBy("tile_row", "tile_col")
+    return (
+        tiles.withColumn("frame_idx", F.row_number().over(w) - 1)
+        .filter(F.col("frame_idx") % every == 0)
+        .select("dataset", "frame_idx", "image_id", "caption", "phash")
+    )

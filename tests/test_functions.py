@@ -1,0 +1,129 @@
+"""Tests for the training-pipeline function modules (dedup, similarity,
+text, multimodal) — statistical properties of the sketch-based ops that
+have no SQL oracle, plus plumbing checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """MinHash LSH candidates must include the true near-dup pairs and the
+    estimate must track exact Jaccard."""
+    from python_rasterstats_spark.functions.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_r"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    for pair, true_j in truth.items():
+        assert pair in cands, f"missed true near-dup {pair} (jaccard {true_j})"
+        assert cands[pair] == pytest.approx(true_j, abs=0.25)
+
+
+def test_simhash_separates_dups(spark, docs):
+    """Near-duplicate docs have closer simhashes than random pairs."""
+    from python_rasterstats_spark.functions.dedup import (
+        ngram_jaccard_pairs, simhash,
+    )
+
+    dup_pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    ]
+    if not dup_pairs:
+        pytest.skip("no near-dup pair at this sf")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dup_d = min(hamming(sh[a], sh[b]) for a, b in dup_pairs)
+    ids = sorted(sh)[:20]
+    rand_d = sum(
+        hamming(sh[a], sh[b]) for a, b in zip(ids[:10], ids[10:20])
+    ) / 10
+    assert dup_d < rand_d, (dup_d, rand_d)
+
+
+def test_lsh_ann_subset_of_bruteforce(spark, emb):
+    """LSH-ANN results are a subset of brute-force results (same threshold)
+    and recall is non-trivial."""
+    from python_rasterstats_spark.functions.similarity import (
+        cosine_neighbors, lsh_ann,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_neighbors(emb, query_max_id=10, threshold=0.2).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann(emb, nplanes=4, query_max_id=10, threshold=0.2).collect()
+    }
+    assert approx <= brute
+    if brute:
+        assert len(approx) / len(brute) > 0.05  # 4 planes → coarse but useful
+
+
+def test_cosine_topk_ordering(spark, emb):
+    from python_rasterstats_spark.functions.similarity import cosine_topk
+
+    out = cosine_topk(emb, query_max_id=3, k=4).toPandas()
+    for _, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        sims = list(grp["cos_r"])
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_resize_and_frame_sample(corpus):
+    from python_rasterstats_spark.functions.multimodal import (
+        frame_sample, resize_tiles,
+    )
+    from python_rasterstats_spark import codecs as C
+    import numpy as np
+
+    tiles, _, _ = corpus
+    one = tiles.filter(F.col("dataset") == "slope")
+    rs = resize_tiles(one, out=8).collect()
+    assert len(rs) == one.count()
+    for r in rs:
+        arr = C.decode_tile(bytes(r["bytes"]), "npy")
+        assert arr.shape == (8, 8)
+        assert np.isfinite(arr).all()
+    fs = frame_sample(one, every=4)
+    n_tiles = one.count()
+    assert fs.count() == -(-n_tiles // 4)  # ceil
+    assert fs.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_exact_dups_finds_planted(spark, docs):
+    """Planted duplicate rows are grouped by content hash."""
+    from python_rasterstats_spark.functions.dedup import exact_dups
+
+    two = docs.limit(1)
+    planted = docs.unionByName(
+        two.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    out = exact_dups(planted)
+    dups = out.filter(F.col("dup_count") > 1).collect()
+    assert len(dups) == 2
+    assert {r["keeper_id"] for r in dups} == {two.collect()[0]["doc_id"]}
