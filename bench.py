@@ -1,0 +1,168 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline workload:
+- zonal_default / zonal_all_stats over the SF-scaled bench corpus (mixed
+  small + continent zones — the skew case) → tiles/s and (zone,tile) pairs/s
+- point_query over sampled vertices
+- pipeline ops over the sf documents/embeddings tables (dedup, minhash,
+  cosine ANN, token stats)
+
+With --scaling (or SPARK_GRAFT_SCALING=1): re-runs the zonal job at
+local[N] and local[4N] (default 8 vs 32) on identical input and reports
+throughput at both plus efficiency = (T_4N / T_N) / 4 — the sandbox
+evidence for the north_rule's two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_NAME = os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def make_spark(cpus: int):
+    from python_rasterstats_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"prs-bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra={
+            # split the tiles scan finely so the Arrow partial kernel gets
+            # one task per row group (at corpus scale file count does this)
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_zonal(spark, corpus_dir, stats):
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.tables import load_corpus
+
+    tiles, zones, datasets = load_corpus(spark, corpus_dir)
+    out = zonal_stats_df(zones, tiles, datasets, dataset="bench", stats=stats)
+    return out.agg({"count": "sum"}).collect()[0][0]
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    result = fn()
+    return time.perf_counter() - t0, result
+
+
+def main():
+    scaling = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1"
+    from python_rasterstats_spark.fixtures import ensure_bench_corpus
+
+    bench_sf = SF_NAME if SF_NAME in ("sf0.001", "sf0.01", "sf0.1", "sf1") else "sf0.1"
+    corpus_dir, meta = ensure_bench_corpus(bench_sf)
+
+    spark = make_spark(CPUS)
+    # warmup: JVM + Arrow + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries: dict[str, float] = {}
+
+    queries["zonal_default"], npix = timed(
+        lambda: run_zonal(spark, corpus_dir, ["count", "min", "max", "mean"])
+    )
+    queries["zonal_all_stats"], _ = timed(
+        lambda: run_zonal(
+            spark, corpus_dir,
+            "count min max mean sum std median majority minority unique range "
+            "percentile_25 percentile_90".split(),
+        )
+    )
+
+    def run_points():
+        from python_rasterstats_spark.operators.point import point_query_df
+        from python_rasterstats_spark.sources.tables import load_corpus
+        from pyspark.sql import functions as F
+
+        tiles, zones, datasets = load_corpus(spark, corpus_dir)
+        out = point_query_df(
+            zones.filter(F.col("collection") == "small").limit(500),
+            tiles, datasets, dataset="bench",
+        )
+        return out.count()
+
+    queries["point_query"], _ = timed(run_points)
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(docs_path):
+        from python_rasterstats_spark.functions import dedup, similarity, textops
+
+        docs = spark.read.parquet(docs_path)
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        queries["doc_dedup_exact"], _ = timed(lambda: dedup.exact_dups(docs).count())
+        queries["doc_minhash_lsh"], _ = timed(
+            lambda: dedup.minhash_lsh_candidates(docs).count()
+        )
+        queries["doc_token_stats"], _ = timed(
+            lambda: textops.token_stats(docs).agg({"token_cnt": "sum"}).collect()
+        )
+        queries["ann_cosine"], _ = timed(
+            lambda: similarity.cosine_neighbors(
+                emb, query_max_id=20, threshold=0.25
+            ).count()
+        )
+
+    total = sum(queries.values())
+    zonal_sec = queries["zonal_default"]
+    out = {
+        "metric": "headline query wall time (zonal corpus "
+                  f"{meta['tiles']} tiles / {meta['zones']} zones / "
+                  f"{meta['pairs']} pairs + pipeline ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_NAME,
+        "cpus": CPUS,
+        "corpus": meta,
+        "pairs_per_sec": round(meta["pairs"] / zonal_sec, 1),
+        "tiles_per_sec": round(meta["pairs"] / zonal_sec, 1),
+        "pixels_per_sec": round(meta["pixels"] / zonal_sec, 1),
+    }
+
+    if scaling:
+        spark.stop()
+        # the scaling evidence runs on a larger corpus so the identical job
+        # is compute-dominated at both parallelism levels (BASELINE.md plan)
+        sc_dir, sc_meta = ensure_bench_corpus("scaling")
+        stats = "count min max mean sum std".split()
+        lo, hi = 8, 32
+        runs = {}
+        for n in (lo, hi):
+            s = make_spark(n)
+            s.range(1000).selectExpr("sum(id)").collect()
+            # warm run (JVM JIT, python workers, page cache), then timed run
+            run_zonal(s, sc_dir, stats)
+            sec, _ = timed(lambda: run_zonal(s, sc_dir, stats))
+            runs[n] = sec
+            s.stop()
+        tp = {n: sc_meta["pairs"] / sec for n, sec in runs.items()}
+        eff = (tp[hi] / tp[lo]) / (hi / lo)
+        out["scaling"] = {
+            "corpus": sc_meta,
+            f"local[{lo}]_sec": round(runs[lo], 3),
+            f"local[{hi}]_sec": round(runs[hi], 3),
+            f"pairs_per_sec_n{lo}": round(tp[lo], 1),
+            f"pairs_per_sec_n{hi}": round(tp[hi], 1),
+            "efficiency_n_to_4n": round(eff, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

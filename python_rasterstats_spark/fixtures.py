@@ -407,8 +407,12 @@ def _tiles_rows(arrays, tile=TILE):
                 }
 
 
-def _write(path, pydict, schema):
-    pq.write_table(pa.table(pydict, schema=schema), path)
+def _write(path, pydict, schema, row_group_size=None):
+    # small row groups on the tiles table let Spark's parquet scan split one
+    # file into many input partitions — at corpus scale the parallelism
+    # comes from file count; locally row groups emulate it
+    pq.write_table(pa.table(pydict, schema=schema), path,
+                   row_group_size=row_group_size)
 
 
 TILES_SCHEMA = pa.schema(
@@ -465,6 +469,7 @@ def write_corpus(outdir: str, arrays=None, zones=None, tile=TILE) -> None:
         os.path.join(outdir, "tiles.parquet"),
         {k.name: [r[k.name] for r in rows] for k in TILES_SCHEMA},
         TILES_SCHEMA,
+        row_group_size=32,
     )
 
     _write(
@@ -770,6 +775,124 @@ def check_structural(arrays, zones) -> None:
 
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data",
                            "zonal_fixtures")
+
+# ---------------------------------------------------------------------------
+# SF-scaled bench corpus (FIXTURES.md §5): big tile grid + heavy-tail zones
+# ---------------------------------------------------------------------------
+
+BENCH_SIZES = {
+    # sf name → (tiles per side, tile px, small zones, continents)
+    "sf0.001": (8, 64, 100, 2),
+    "sf0.01": (16, 128, 400, 4),
+    "sf0.1": (48, 128, 2000, 8),
+    # scaling-evidence corpus: big enough that the zonal job is
+    # compute-dominated (≫ scheduler/worker-startup overhead) at 8 cores
+    "scaling": (72, 256, 6000, 12),
+    "sf1": (96, 256, 8000, 12),
+}
+
+
+def build_bench_corpus(outdir: str, sf_name: str = "sf0.1", seed: int = SEED) -> dict:
+    """Deterministic bench corpus: one big raster of n×n tiles plus a mixed
+    zone population — many small boxes + a heavy tail of continent-sized
+    polygons covering ~25% of the grid each (exercises fan-out/skew).
+
+    Returns meta: pair counts etc. (also written to bench_meta.json).
+    """
+    import json
+
+    nts, tpx, n_small, n_cont = BENCH_SIZES[sf_name]
+    h = w = nts * tpx
+    aff = (1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    rng = np.random.default_rng(seed)
+
+    r = np.arange(h, dtype=np.float64)[:, None]
+    c = np.arange(w, dtype=np.float64)[None, :]
+    arr = (10.0 + 0.002 * c + 0.001 * r + 4.0 * np.sin(c / 97.0)).astype(np.float32)
+    arr[: h // 50, :] = NODATA  # thin nodata band
+
+    def pxy(col, row):  # pixel → CRS on this grid
+        return (float(col), float(h - row))
+
+    zones = []
+    zid = 0
+
+    def add_box(c0, r0, c1, r1, coll):
+        nonlocal zid
+        x0, y1 = pxy(c0, r0)
+        x1, y0 = pxy(c1, r1)
+        zones.append(
+            {
+                "collection": coll,
+                "zone_id": zid,
+                "geom": G.box(x0, y0, x1, y1),
+                "properties": {"id": str(zid + 1)},
+            }
+        )
+        zid += 1
+
+    for _ in range(n_small):
+        c0 = rng.uniform(0, w - 2 * tpx)
+        r0 = rng.uniform(0, h - 2 * tpx)
+        add_box(c0, r0, c0 + rng.uniform(0.3, 1.6) * tpx,
+                r0 + rng.uniform(0.3, 1.6) * tpx, "small")
+
+    side = 0.25 * w
+    for _ in range(n_cont):
+        cx = rng.uniform(side / 2, w - side / 2)
+        cy = rng.uniform(side / 2, h - side / 2)
+        # octagon ≈ continent (non-rectangular edges exercise scanline fill)
+        angles = np.linspace(0, 2 * np.pi, 9)[:-1] + rng.uniform(0, 0.3)
+        radii = side / 2 * rng.uniform(0.7, 1.0, size=8)
+        ring = [
+            pxy(cx + rad * np.cos(a), cy + rad * np.sin(a))
+            for a, rad in zip(angles, radii)
+        ]
+        ring.append(ring[0])
+        zones.append(
+            {
+                "collection": "continent",
+                "zone_id": zid,
+                "geom": {"type": "Polygon", "coordinates": [ring]},
+                "properties": {"id": str(zid + 1)},
+            }
+        )
+        zid += 1
+
+    arrays = {"bench": (arr, aff, NODATA, "npy")}
+    write_corpus(outdir, arrays, zones, tile=tpx)
+
+    # exact (zone, tile) pair count for throughput accounting
+    n_pairs = 0
+    for z in zones:
+        (r0_, r1_), (c0_, c1_) = K.bounds_window(G.geom_bounds(z["geom"]), aff)
+        tr0, tr1 = max(r0_ // tpx, 0), min((r1_ - 1) // tpx, nts - 1)
+        tc0, tc1 = max(c0_ // tpx, 0), min((c1_ - 1) // tpx, nts - 1)
+        n_pairs += max(tr1 - tr0 + 1, 0) * max(tc1 - tc0 + 1, 0)
+    meta = {
+        "sf": sf_name,
+        "tiles": nts * nts,
+        "tile_px": tpx,
+        "zones": len(zones),
+        "pairs": int(n_pairs),
+        "pixels": int(h) * int(w),
+    }
+    with open(os.path.join(outdir, "bench_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_bench_corpus(sf_name: str = "sf0.1") -> tuple[str, dict]:
+    import json
+
+    outdir = os.path.join(os.path.dirname(FIXTURE_DIR), f"bench_{sf_name}")
+    marker = os.path.join(outdir, "bench_meta.json")
+    if not os.path.exists(marker):
+        meta = build_bench_corpus(outdir, sf_name)
+    else:
+        with open(marker) as f:
+            meta = json.load(f)
+    return outdir, meta
 
 
 def ensure_fixtures(outdir: str = FIXTURE_DIR) -> str:

@@ -85,13 +85,17 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame
     signature is an array<long> column (shingle→minhash step of
     MinHash+LSH dedup).
     """
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(k)
-        ]
+    # single pass over the shingle array: fold an array<long> accumulator of
+    # per-seed minima (avoids re-evaluating the shingle expression k times)
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long") for _ in range(k)])
+    sig = F.aggregate(
+        F.col("shingles"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(k)]),
+            lambda a, h: F.least(a, h),
+        ),
     )
     toks = F.split(F.trim(F.col("text")), " ")
     return (

@@ -136,7 +136,9 @@ def point_query_df(
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
-    windows = zones.select("zone_id", "dataset", "geometry_wkb").mapInPandas(
+    from .zonal import spread
+
+    windows = spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
         explode_vertices, _WINDOWS_SCHEMA
     )
 

@@ -73,6 +73,16 @@ def collect_dataset_meta(datasets: DataFrame) -> dict:
     return meta
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a (small) driver-side table so the following Arrow stage
+    parallelizes — zone tables often arrive as one parquet file → one task.
+    The shuffle moves only zone rows (tiny next to tile payloads)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _effective_geom(wkb: bytes, aff):
     """Decode + point-boxify (reference main.py:186-187, utils.py:125-145)."""
     geom = G.wkb_loads(bytes(wkb))
@@ -157,7 +167,7 @@ def zone_cover_cells(
                 }
             )
 
-    return zones.select("zone_id", "dataset", "geometry_wkb").mapInPandas(
+    return spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
         gen, _CELLS_SCHEMA
     )
 
