@@ -787,7 +787,7 @@ BENCH_SIZES = {
     "sf0.1": (48, 128, 2000, 8),
     # scaling-evidence corpus: big enough that the zonal job is
     # compute-dominated (≫ scheduler/worker-startup overhead) at 8 cores
-    "scaling": (72, 256, 6000, 12),
+    "scaling": (96, 256, 8000, 24),
     "sf1": (96, 256, 8000, 12),
 }
 

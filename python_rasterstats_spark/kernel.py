@@ -133,19 +133,29 @@ def _map_pix(coords, depth, conv):
 
 
 def _fill_rings(rings, window):
-    """Even-odd scanline polygon fill testing pixel CENTERS.
+    """Even-odd scanline polygon fill testing pixel CENTERS — vectorized.
 
     Matches GDAL's default (non-all_touched) polygon rule: burn a pixel iff
     its center point is inside the polygon (even-odd over all rings, so
     interior rings punch holes — reference semantics via GDALRasterize,
     utils.py:46-53).
+
+    All arithmetic happens in GLOBAL pixel coordinates (row centers
+    ``i + 0.5``, never offset-relative) so the burn decision for a pixel is
+    bit-identical whatever window contains it — the tile-seam invariant.
+    Algorithm: for every (edge, crossed-row) pair compute the crossing x,
+    drop a +1 marker at the first cell whose center lies strictly right of
+    it, cumsum along the row — odd prefix parity = inside.
     """
     (r0, r1), (c0, c1) = window
     h, w = r1 - r0, c1 - c0
-    out = np.zeros((h, w), dtype=bool)
+    out = np.zeros((max(h, 0), max(w, 0)), dtype=bool)
     if h <= 0 or w <= 0:
         return out
-    edges = []
+    ex1 = []
+    ey1 = []
+    ex2 = []
+    ey2 = []
     for ring in rings:
         pts = np.asarray(ring, dtype=np.float64)
         if len(pts) < 3:
@@ -153,28 +163,53 @@ def _fill_rings(rings, window):
         x1, y1 = pts[:-1, 0], pts[:-1, 1]
         x2, y2 = pts[1:, 0], pts[1:, 1]
         keep = y1 != y2  # horizontal edges never cross a scanline
-        edges.append((x1[keep], y1[keep], x2[keep], y2[keep]))
-    if not edges:
+        ex1.append(x1[keep])
+        ey1.append(y1[keep])
+        ex2.append(x2[keep])
+        ey2.append(y2[keep])
+    if not ex1:
         return out
-    ex1 = np.concatenate([e[0] for e in edges])
-    ey1 = np.concatenate([e[1] for e in edges])
-    ex2 = np.concatenate([e[2] for e in edges])
-    ey2 = np.concatenate([e[3] for e in edges])
+    ex1 = np.concatenate(ex1)
+    ey1 = np.concatenate(ey1)
+    ex2 = np.concatenate(ex2)
+    ey2 = np.concatenate(ey2)
     ylo = np.minimum(ey1, ey2)
     yhi = np.maximum(ey1, ey2)
-    centers_x = c0 + np.arange(w) + 0.5
-    for i in range(h):
-        yc = r0 + i + 0.5
-        # half-open rule [ylo, yhi): each vertex counted once
-        hit = (ylo <= yc) & (yc < yhi)
-        if not hit.any():
-            continue
-        t = (yc - ey1[hit]) / (ey2[hit] - ey1[hit])
-        xs = ex1[hit] + t * (ex2[hit] - ex1[hit])
-        xs.sort()
-        # center inside iff # crossings strictly left of it is odd
-        out[i] = (np.searchsorted(xs, centers_x, side="left") % 2) == 1
-    return out
+
+    # global row range each edge crosses, half-open [ylo, yhi):
+    #   smallest global row i with i+0.5 >= ylo ; largest with i+0.5 < yhi
+    g_lo = np.ceil(ylo - 0.5).astype(np.int64)
+    g_hi = np.ceil(yhi - 0.5).astype(np.int64) - 1
+    g_lo = np.maximum(g_lo, r0)
+    g_hi = np.minimum(g_hi, r1 - 1)
+    counts = g_hi - g_lo + 1
+    keep = counts > 0
+    if not keep.any():
+        return out
+    g_lo, counts = g_lo[keep], counts[keep]
+    ex1, ey1, ex2, ey2 = ex1[keep], ey1[keep], ex2[keep], ey2[keep]
+
+    n = counts.sum()
+    eidx = np.repeat(np.arange(len(counts)), counts)
+    # intra-edge row offset: global arange minus repeated starts
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    intra = np.arange(n) - np.repeat(starts, counts)
+    grow = g_lo[eidx] + intra
+    yc = grow + 0.5  # exact: integer + 0.5
+    t = (yc - ey1[eidx]) / (ey2[eidx] - ey1[eidx])
+    xs = ex1[eidx] + t * (ex2[eidx] - ex1[eidx])
+
+    # first cell center strictly right of the crossing (searchsorted-left
+    # parity equivalent), in global col space
+    j0 = np.floor(xs - 0.5).astype(np.int64) + 1
+    j = j0 - c0
+    rows_local = (grow - r0).astype(np.int64)
+    in_row = j < w
+    j = np.clip(j, 0, None)
+    acc = np.zeros((h, w), dtype=np.int32)
+    np.add.at(acc, (rows_local[in_row], j[in_row]), 1)
+    np.cumsum(acc, axis=1, out=acc)
+    return (acc & 1).astype(bool)
 
 
 def _supercover_cells(x1, y1, x2, y2):
@@ -399,13 +434,16 @@ def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bo
     else:
         isnodata = arr == nodata
     valid = cover & ~isnodata & ~isnan
-    vals = arr[valid].astype(np.float64, copy=False)
+    # keep the tile's native dtype until the (much smaller) valid subset;
+    # accumulate in float64 (same values: float32 → float64 is exact)
+    vals = arr[valid]
     n = int(vals.size)
+    v64 = vals.astype(np.float64, copy=False) if n else vals
     out = {
         "cover_count": int(cover.sum()),
         "count": n,
-        "sum": float(vals.sum()) if n else 0.0,
-        "sumsq": float(np.square(vals).sum()) if n else 0.0,
+        "sum": float(v64.sum()) if n else 0.0,
+        "sumsq": float(v64 @ v64) if n else 0.0,
         "min": float(vals.min()) if n else None,
         "max": float(vals.max()) if n else None,
         "nodata_count": int((isnodata & cover).sum()),
@@ -413,7 +451,7 @@ def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bo
     }
     if want_counts and n:
         uvals, ucnts = np.unique(vals, return_counts=True)
-        out["vc_vals"] = uvals
+        out["vc_vals"] = uvals.astype(np.float64, copy=False)
         out["vc_cnts"] = ucnts.astype(np.int64)
     else:
         out["vc_vals"] = np.empty(0, dtype=np.float64)

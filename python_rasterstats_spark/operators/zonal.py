@@ -192,24 +192,26 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def _cell_block(m, tile_row, tile_col, payload, fmt, region):
+def _cell_block(m, tile_row, tile_col, decoded, region):
     """Pixel block for ``region`` (global window) inside one cell's nominal
     extent; pixels without stored data become nodata fill (J4 boundless).
 
     The windowed-read semantics mirror Raster.read (io.py:292-362) with the
-    tile grid taking the place of the rasterio dataset.
+    tile grid taking the place of the rasterio dataset. ``decoded`` is the
+    tile's decoded pixel array (or None for a missing tile).
     """
     (rr0, rr1), (cc0, cc1) = region
     fill = m["nodata"] if m["nodata"] is not None else -999.0
-    if payload is None:
+    if decoded is None:
         out = np.full((rr1 - rr0, cc1 - cc0), fill, dtype=np.float64)
         return out
-    block = np.asarray(C.decode_tile(payload, fmt), dtype=np.float64)
     # window relative to the tile's stored pixels
     row_off = tile_row * m["tile_h"]
     col_off = tile_col * m["tile_w"]
     rel = ((rr0 - row_off, rr1 - row_off), (cc0 - col_off, cc1 - col_off))
-    return K.boundless_array(block, rel, fill)
+    if rel == ((0, decoded.shape[0]), (0, decoded.shape[1])):
+        return decoded  # whole-tile region: no copy (callers don't mutate)
+    return K.boundless_array(decoded, rel, fill)
 
 
 def partial_kernel(
@@ -226,6 +228,7 @@ def partial_kernel(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict = {}
+        tile_cache: dict = {}
         for pdf in batches:
             rows = {name: [] for name in _PARTIAL_SCHEMA.fieldNames()}
             for zid, ds, tc, tr, wkb, payload, fmt in zip(
@@ -257,7 +260,19 @@ def partial_kernel(
                 rv = K.rasterize_pixgeom(pgeom, region, all_touched=all_touched)
                 if not rv.any():
                     continue
-                block = _cell_block(m, tr, tc, payload, fmt, region)
+                decoded = None
+                if payload is not None:
+                    tkey = (ds, tc, tr)
+                    decoded = tile_cache.get(tkey)
+                    if decoded is None:
+                        if len(tile_cache) > 64:
+                            tile_cache.clear()
+                        # native dtype end-to-end; stats accumulate in f64
+                        decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
+                        tile_cache[tkey] = decoded
+                block = _cell_block(m, tr, tc, decoded, region)
+                if zone_func is not None and block is decoded:
+                    block = block.copy()  # user fn may mutate in place
                 nd = nodata_override if nodata_override is not None else m["nodata"]
                 nd = -999.0 if nd is None else nd  # io.py:331-340 default
                 if zone_func is not None:

@@ -122,8 +122,10 @@ def test_zone_func_elementwise(corpus):
         polys, tiles, datasets, dataset="slope", zone_func=lambda m: m * 0.0
     ).orderBy("zone_id").toPandas()
     assert plus["count"].tolist() == base["count"].tolist()
+    # zone_func runs on the native float32 block (as the reference's would
+    # on a float32 masked array) → float32 rounding of v+2
     assert plus["mean"].tolist() == pytest.approx(
-        [m + 2.0 for m in base["mean"]], rel=1e-9
+        [m + 2.0 for m in base["mean"]], rel=1e-6
     )
     assert zero["max"].tolist() == [0.0, 0.0]
 
