@@ -142,10 +142,14 @@ def point_query_df(
         explode_vertices, _WINDOWS_SCHEMA
     )
 
+    # INNER broadcast join (a left join can't broadcast its left side and
+    # would shuffle the tile table); vertices whose tiles are all missing
+    # are reinstated as NULL after interpolation via vkeys
+    vkeys = windows.select("zone_id", "vertex_idx").distinct()
     joined = F.broadcast(windows).join(
         tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
         ["dataset", "tile_col", "tile_row"],
-        "left",
+        "inner",
     )
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,6 +217,9 @@ def point_query_df(
             {"zone_id": [zid], "vertex_idx": [vi], "value": [out]}
         )
 
-    return gathered.groupBy("zone_id", "vertex_idx").applyInPandas(
+    interped = gathered.groupBy("zone_id", "vertex_idx").applyInPandas(
         interp, _RESULT_SCHEMA
     )
+    # vertices with no tile at all (beyond extent / absent tiles) → NULL,
+    # preserving one output row per vertex (J4 boundless semantics)
+    return vkeys.join(interped, ["zone_id", "vertex_idx"], "left")

@@ -336,46 +336,93 @@ def _holistic_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
     return T.StructType(fields)
 
 
-def holistic_merge(partials: DataFrame, pctiles: list[str], want_vc: bool) -> DataFrame:
-    """Exact holistic stats from merged (value, count) pairs.
+_VC_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("vc_vals", T.ArrayType(T.DoubleType())),
+        T.StructField("vc_cnts", T.ArrayType(T.LongType())),
+    ]
+)
 
-    Two JVM-side shuffles with map-side combine do the heavy merge
-    (groupBy zone,value); the per-zone pandas finalize touches only the
-    distinct values of that zone (A7/A8/A9/A10/A12/A15).
-    """
-    exploded = (
-        partials.select(
-            "zone_id", F.explode(F.arrays_zip("vc_vals", "vc_cnts")).alias("kv")
-        )
-        .select(
-            "zone_id",
-            F.col("kv.vc_vals").alias("val"),
-            F.col("kv.vc_cnts").alias("cnt"),
-        )
-        .groupBy("zone_id", "val")
-        .agg(F.sum("cnt").alias("cnt"))
+
+def _merge_vc_arrays(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-partial (value, count) arrays: concat → unique → scatter-add.
+    Associative, so it works as both the salted pre-merge and the final."""
+    vals = np.concatenate(
+        [np.asarray(v, dtype=np.float64) for v in pdf["vc_vals"]] or [np.empty(0)]
     )
+    cnts = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in pdf["vc_cnts"]]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    u, inv = np.unique(vals, return_inverse=True)
+    merged = np.zeros(len(u), dtype=np.int64)
+    np.add.at(merged, inv, cnts)
+    return pd.DataFrame(
+        {
+            "zone_id": [pdf["zone_id"].iloc[0]],
+            "vc_vals": [u.tolist()],
+            "vc_cnts": [merged.tolist()],
+        }
+    )
+
+
+def holistic_merge(
+    partials: DataFrame,
+    pctiles: list[str],
+    want_vc: bool,
+    *,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact holistic stats from merged (value, count) arrays (A7-A15).
+
+    One shuffle: groupBy(zone_id).applyInPandas merges the per-(zone,tile)
+    value-count arrays and finalizes in the same task — per-task memory is
+    bounded by the zone's distinct-value count. For zones whose value
+    domain is too large for one task (planet-sized zones over continuous
+    rasters), ``salt`` enables the north_rule's two-stage merge: a
+    pre-merge keyed by (zone_id, upstream-partition-salt) collapses
+    duplicates early, then the final merge sees ≤salt rows per zone.
+    """
     schema = _holistic_schema(pctiles, want_vc)
     qs = [K.get_percentile(p) for p in pctiles]
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("val")
-        vals = pdf["val"].to_numpy(dtype=np.float64)
-        cnts = pdf["cnt"].to_numpy(dtype=np.int64)
-        row = {
-            "zone_id": [pdf["zone_id"].iloc[0]],
-            "median": [K.weighted_percentile(vals, cnts, 50.0)],
-            "majority": [float(vals[int(np.argmax(cnts))])],
-            "minority": [float(vals[int(np.argmin(cnts))])],
-            "unique": [int(vals.size)],
-        }
+        merged = _merge_vc_arrays(pdf)
+        vals = np.asarray(merged["vc_vals"].iloc[0], dtype=np.float64)
+        cnts = np.asarray(merged["vc_cnts"].iloc[0], dtype=np.int64)
+        row: dict = {"zone_id": [pdf["zone_id"].iloc[0]]}
+        if vals.size == 0:
+            for name in ("median", "majority", "minority"):
+                row[name] = [None]
+            row["unique"] = [None]
+            for p in pctiles:
+                row[p] = [None]
+            if want_vc:
+                row["value_counts"] = [None]
+            return pd.DataFrame(row)
+        row["median"] = [K.weighted_percentile(vals, cnts, 50.0)]
+        row["majority"] = [float(vals[int(np.argmax(cnts))])]
+        row["minority"] = [float(vals[int(np.argmin(cnts))])]
+        row["unique"] = [int(vals.size)]
         for p, q in zip(pctiles, qs):
             row[p] = [K.weighted_percentile(vals, cnts, q)]
         if want_vc:
             row["value_counts"] = [dict(zip(vals.tolist(), cnts.tolist()))]
         return pd.DataFrame(row)
 
-    return exploded.groupBy("zone_id").applyInPandas(finalize, schema)
+    vc = partials.select("zone_id", "vc_vals", "vc_cnts")
+    if salt:
+        pre = (
+            vc.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+            .groupBy("zone_id", "_salt")
+            .applyInPandas(
+                lambda pdf: _merge_vc_arrays(pdf.drop(columns=["_salt"])),
+                _VC_SCHEMA,
+            )
+        )
+        vc = pre
+    return vc.groupBy("zone_id").applyInPandas(finalize, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +444,7 @@ def zonal_stats_df(
     zone_func=None,
     broadcast_zones: bool = True,
     max_cells_per_zone: int = 4_000_000,
+    holistic_salt: int | None = None,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -463,7 +511,7 @@ def zonal_stats_df(
 
     result = zones.select("zone_id").join(scalars, "zone_id", "left")
     if want_holistic or want_vc:
-        hol = holistic_merge(partials, pctiles, want_vc)
+        hol = holistic_merge(partials, pctiles, want_vc, salt=holistic_salt)
         result = result.join(hol, "zone_id", "left")
 
     cnt = F.coalesce(F.col("count"), F.lit(0))
