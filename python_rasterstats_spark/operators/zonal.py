@@ -536,7 +536,9 @@ def zonal_stats_df(
         elif s == "nan":
             cols.append(F.coalesce(F.col("nan_count"), F.lit(0)).cast("double").alias("nan"))
         elif s in ("median", "majority", "minority") or s.startswith("percentile_"):
-            cols.append(F.when(nonempty, F.col(s)).alias(s))
+            # backtick-escape: percentile_12.5 contains a dot (valid per
+            # reference utils.py:21-30 float percentiles)
+            cols.append(F.when(nonempty, F.col(f"`{s}`")).alias(s))
         elif s == "unique":
             cols.append(F.when(nonempty, F.col("unique")).alias("unique"))
     if want_vc:
