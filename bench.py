@@ -53,11 +53,11 @@ def make_spark(cpus: int, corpus_dir: str | None = None, split_cpus: int | None 
     return spark
 
 
-def run_zonal(spark, corpus_dir, stats):
+def run_zonal(spark, corpus_dir, stats, tables=None):
     from python_rasterstats_spark.operators.zonal import zonal_stats_df
     from python_rasterstats_spark.sources.tables import load_corpus
 
-    tiles, zones, datasets = load_corpus(spark, corpus_dir)
+    tiles, zones, datasets = tables or load_corpus(spark, corpus_dir)
     out = zonal_stats_df(zones, tiles, datasets, dataset="bench", stats=stats)
     return out.agg({"count": "sum"}).collect()[0][0]
 
@@ -149,16 +149,22 @@ def main():
         sc_dir, sc_meta = ensure_bench_corpus("scaling")
         stats = "count min max mean sum std".split()
         levels = (2, 8, 32)
-        runs = {}
-        for n in levels:
-            s = make_spark(n, sc_dir, split_cpus=max(levels))
-            s.range(1000).selectExpr("sum(id)").collect()
-            # warm run (JVM JIT, python workers, page cache), then best of 2
-            run_zonal(s, sc_dir, stats)
-            sec1, _ = timed(lambda: run_zonal(s, sc_dir, stats))
-            sec2, _ = timed(lambda: run_zonal(s, sc_dir, stats))
-            runs[n] = min(sec1, sec2)
-            s.stop()
+        # the sandbox host shows minute-scale noise from neighbors, so the
+        # levels are visited round-robin (each rep = fresh session + warm +
+        # timed run) and the min per level is used — interleaving ensures a
+        # noisy minute cannot bias one level
+        from python_rasterstats_spark.sources.tables import load_corpus
+
+        runs = {n: float("inf") for n in levels}
+        for _rep in range(3):
+            for n in levels:
+                s = make_spark(n, sc_dir, split_cpus=max(levels))
+                tables = load_corpus(s, sc_dir)
+                s.range(1000).selectExpr("sum(id)").collect()
+                run_zonal(s, sc_dir, stats, tables)  # warm
+                sec, _ = timed(lambda: run_zonal(s, sc_dir, stats, tables))
+                runs[n] = min(runs[n], sec)
+                s.stop()
         tp = {n: sc_meta["pairs"] / sec for n, sec in runs.items()}
         out["scaling"] = {
             "corpus": {k: sc_meta[k] for k in ("tiles", "zones", "pairs")},

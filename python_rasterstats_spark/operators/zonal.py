@@ -445,6 +445,7 @@ def zonal_stats_df(
     broadcast_zones: bool = True,
     max_cells_per_zone: int = 4_000_000,
     holistic_salt: int | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -465,7 +466,7 @@ def zonal_stats_df(
     want_vc = bool(categorical)
     need_missing = boundless and ("nodata" in stats or "nan" in stats)
 
-    meta = collect_dataset_meta(datasets)
+    meta = meta if meta is not None else collect_dataset_meta(datasets)
     if dataset is not None:
         if dataset not in meta:
             raise ValueError(
