@@ -217,6 +217,22 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(tiles, every=4)
 
 
+def q_event_sessions(spark, sf_dir):
+    from python_rasterstats_spark.streaming.sessions import sessionize
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(events, gap="30 minutes")
+    return out.select(
+        "user_id",
+        # events.ts is TIMESTAMP_NTZ; session tz is UTC so this matches
+        # DuckDB's epoch() on the naive timestamp
+        F.col("first_ts").cast("timestamp").cast("long").alias("first_s"),
+        F.col("last_ts").cast("timestamp").cast("long").alias("last_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_doc_dedup_exact(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import exact_dups
 
@@ -326,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_bilinear": q_point_bilinear,
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
+        "event_sessions": q_event_sessions,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -539,6 +556,32 @@ SELECT dataset, frame_idx, image_id, caption, phash FROM (
          CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS INT) AS frame_idx
   FROM read_parquet('{FIX}/tiles.parquet'))
 WHERE frame_idx % 4 = 0
+"""
+
+    # independent session semantics: lag/cumsum chaining (an event exactly
+    # `gap` after its predecessor starts a NEW session — matching Spark's
+    # half-open session_window)
+    sql["event_sessions"] = """
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM y GROUP BY user_id, sid
 """
 
     sql["doc_dedup_exact"] = """
