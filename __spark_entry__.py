@@ -296,6 +296,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_emb_neardup(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import embedding_neardup
+
+    return embedding_neardup(
+        _emb(spark, sf_dir), threshold=0.35, query_max_id=50
+    )
+
+
 def q_doc_minhash_lsh(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import minhash_lsh_candidates
 
@@ -351,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_neardup": q_emb_neardup,
         # rows-only checks (hash-family ops with no SQL twin):
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
@@ -663,6 +672,18 @@ c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
       FROM q, embeddings e WHERE e.vec_id != q.query_id)
 SELECT query_id, neighbor_id, round(cos, 6) AS cos_r
 FROM c WHERE cos >= 0.25
+"""
+
+    cos_ab = (
+        _dot.format(x="a.va", y="b.embedding")
+        + " / (sqrt(" + _dot.format(x="a.va", y="a.va") + ")"
+        + " * sqrt(" + _dot.format(x="b.embedding", y="b.embedding") + "))"
+    )
+    sql["emb_neardup"] = f"""
+WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings WHERE vec_id < 50),
+c AS (SELECT a.vec_a, b.vec_id AS vec_b, {cos_ab} AS cos
+      FROM a, embeddings b WHERE a.vec_a < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM c WHERE cos >= 0.35
 """
 
     sql["ann_cosine_topk"] = f"""

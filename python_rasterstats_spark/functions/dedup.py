@@ -169,6 +169,36 @@ def minhash_lsh_candidates(
     return cands.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
 
 
+def embedding_neardup(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    query_max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_r) with
+    cosine ≥ threshold and vec_a < vec_b.
+
+    The brute-force exact baseline (broadcast the smaller side); at corpus
+    scale swap the self-join for similarity.lsh_buckets so candidates are
+    bucket-local."""
+    from .similarity import _dot, _norm
+
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    if query_max_id is not None:
+        a = a.filter(F.col("vec_a") < query_max_id)
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_r"))
+    )
+
+
 def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes.
 

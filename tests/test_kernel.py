@@ -503,3 +503,17 @@ def test_phash_deterministic():
     arr = rng.normal(size=(32, 32))
     assert C.phash64(arr) == C.phash64(arr.copy())
     assert C.phash64(arr) != C.phash64(arr * -1 + 3)
+
+
+def test_quadkey_hierarchy():
+    """Morton quadkey: parents are prefixes; distinct cells → distinct keys."""
+    seen = set()
+    for tc in range(0, 17, 3):
+        for tr in range(0, 17, 3):
+            qk = K.quadkey(tc, tr)
+            assert qk not in seen
+            seen.add(qk)
+            assert K.quadkey_parent(qk) == K.quadkey(tc // 2, tr // 2)
+            assert K.quadkey_parent(qk, 3) == K.quadkey(tc // 8, tr // 8)
+    with pytest.raises(ValueError):
+        K.quadkey(-1, 0)
