@@ -217,6 +217,28 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(tiles, every=4)
 
 
+def q_zonal_gather_addstats(spark, sf_dir):
+    """Gather-tier path (per-zone mosaic) with a user add_stats fn whose
+    semantics are SQL-expressible (mean of the masked zone)."""
+    import numpy as np
+
+    from python_rasterstats_spark.operators.gather import zonal_gather_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+
+    def mymean(masked):
+        return float(np.ma.mean(masked))
+
+    out = zonal_gather_df(
+        zones.filter(F.col("collection") == "polygons"), tiles, datasets,
+        dataset="slope", stats=["count"], add_stats={"mymean": mymean},
+    )
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"),
+        F.round("mymean", 6).alias("mymean_r"),
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     from python_rasterstats_spark.streaming.sessions import sessionize
 
@@ -350,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_bilinear": q_point_bilinear,
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
+        "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -565,6 +588,13 @@ SELECT dataset, frame_idx, image_id, caption, phash FROM (
          CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS INT) AS frame_idx
   FROM read_parquet('{FIX}/tiles.parquet'))
 WHERE frame_idx % 4 = 0
+"""
+
+    sql["zonal_gather_addstats"] = _valid_join("'polygons_slope_default'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       round(avg(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS mymean_r
+FROM j GROUP BY zone_id
 """
 
     # independent session semantics: lag/cumsum chaining (an event exactly
