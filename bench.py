@@ -62,6 +62,16 @@ def run_zonal(spark, corpus_dir, stats, tables=None):
     return out.agg({"count": "sum"}).collect()[0][0]
 
 
+def warm(spark, cpus: int) -> None:
+    """JVM + Arrow + Python-worker warmup (pandas workers fork lazily on
+    the first Arrow stage; pre-spawn them so measurements reflect a warm
+    cluster, matching multi-executor steady state)."""
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+
 def timed(fn):
     t0 = time.perf_counter()
     result = fn()
@@ -76,8 +86,7 @@ def main():
     corpus_dir, meta = ensure_bench_corpus(bench_sf)
 
     spark = make_spark(CPUS, corpus_dir)
-    # warmup: JVM + Arrow + parquet footer caches
-    spark.range(1000).selectExpr("sum(id)").collect()
+    warm(spark, CPUS)
 
     queries: dict[str, float] = {}
 
@@ -160,7 +169,7 @@ def main():
             for n in levels:
                 s = make_spark(n, sc_dir, split_cpus=max(levels))
                 tables = load_corpus(s, sc_dir)
-                s.range(1000).selectExpr("sum(id)").collect()
+                warm(s, n)
                 run_zonal(s, sc_dir, stats, tables)  # warm
                 sec, _ = timed(lambda: run_zonal(s, sc_dir, stats, tables))
                 runs[n] = min(runs[n], sec)

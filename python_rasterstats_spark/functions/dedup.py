@@ -117,7 +117,10 @@ def minhash_lsh_candidates(
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, n=n, k=k)
+    # exchange barrier: without it Catalyst collapses the projection and
+    # re-evaluates the k-hash signature fold once per band expression
+    # (measured 2x end-to-end). Signatures are k longs/doc — cheap to move.
+    sigs = minhash_signatures(docs, n=n, k=k).repartition("doc_id")
     banded = sigs.select(
         "doc_id",
         "signature",
