@@ -165,7 +165,7 @@ def main():
         from python_rasterstats_spark.sources.tables import load_corpus
 
         runs = {n: float("inf") for n in levels}
-        for _rep in range(3):
+        for _rep in range(4):
             for n in levels:
                 s = make_spark(n, sc_dir, split_cpus=max(levels))
                 tables = load_corpus(s, sc_dir)
