@@ -58,15 +58,6 @@ _GATHER_SCHEMA = T.StructType(
     ]
 )
 
-_RESULT_SCHEMA = T.StructType(
-    [
-        T.StructField("zone_id", T.LongType()),
-        T.StructField("vertex_idx", T.IntegerType()),
-        T.StructField("value", T.DoubleType()),
-    ]
-)
-
-
 def point_query_df(
     zones: DataFrame,
     tiles: DataFrame,
@@ -142,6 +133,9 @@ def point_query_df(
         explode_vertices, _WINDOWS_SCHEMA
     )
 
+    # the vertex-window table is tiny by construction — persist it so the
+    # vkeys branch below doesn't recompute the explode
+    windows = windows.persist()
     # INNER broadcast join (a left join can't broadcast its left side and
     # would shuffle the tile table); vertices whose tiles are all missing
     # are reinstated as NULL after interpolation via vkeys
@@ -199,27 +193,48 @@ def point_query_df(
 
     gathered = joined.mapInPandas(gather, _GATHER_SCHEMA)
 
-    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
-        zid = pdf["zone_id"].iloc[0]
-        vi = pdf["vertex_idx"].iloc[0]
-        if not bilin:
-            v = pdf.loc[pdf["pos"] == 0, "value"]
-            out = None if v.empty or pd.isna(v.iloc[0]) else float(v.iloc[0])
-        else:
-            vals = np.full(4, np.nan)
-            for pos, v in zip(pdf["pos"], pdf["value"]):
-                if not pd.isna(v):
-                    vals[int(pos)] = v
-            arr = np.ma.MaskedArray(vals.reshape(2, 2), mask=np.isnan(vals).reshape(2, 2))
-            v = K.bilinear(arr, float(pdf["ux"].iloc[0]), float(pdf["uy"].iloc[0]))
-            out = None if v is None else float(v)
-        return pd.DataFrame(
-            {"zone_id": [zid], "vertex_idx": [vi], "value": [out]}
-        )
-
-    interped = gathered.groupBy("zone_id", "vertex_idx").applyInPandas(
-        interp, _RESULT_SCHEMA
+    # interpolation entirely in JVM expressions (no per-vertex pandas
+    # groups): gather the ≤4 pixels into a pos→value map, then apply the
+    # bilinear formula / masked-nearest fallback (point.py:29-65) as CASE
+    # logic. pos layout: 0=UL(A) 1=UR(B) 2=LL(C) 3=LR(D).
+    agg = gathered.groupBy("zone_id", "vertex_idx").agg(
+        F.first("ux").alias("ux"),
+        F.first("uy").alias("uy"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("pos"), F.struct(F.col("value").alias("v")))
+            )
+        ).alias("vals"),
     )
+    if not bilin:
+        value = F.col("vals")[0]["v"]
+    else:
+        va = F.col("vals")[0]["v"]
+        vb = F.col("vals")[1]["v"]
+        vc = F.col("vals")[2]["v"]
+        vd = F.col("vals")[3]["v"]
+        ux, uy = F.col("ux"), F.col("uy")
+        all_valid = (
+            va.isNotNull() & vb.isNotNull() & vc.isNotNull() & vd.isNotNull()
+        )
+        bilinear = (
+            vc * (1 - ux) * (1 - uy)
+            + vd * ux * (1 - uy)
+            + va * (1 - ux) * uy
+            + vb * ux * uy
+        )
+        # nearest fallback: window index (round(1-uy), round(ux)); on the
+        # unit square round-half-even of 0.5 is 0 (matching python round)
+        top = (1 - uy) <= 0.5
+        left_ = ux <= 0.5
+        nearest = (
+            F.when(top & left_, va)
+            .when(top & ~left_, vb)
+            .when(~top & left_, vc)
+            .otherwise(vd)
+        )
+        value = F.when(all_valid, bilinear).otherwise(nearest)
+    interped = agg.select("zone_id", "vertex_idx", value.alias("value"))
     # vertices with no tile at all (beyond extent / absent tiles) → NULL,
     # preserving one output row per vertex (J4 boundless semantics)
     return vkeys.join(interped, ["zone_id", "vertex_idx"], "left")
