@@ -200,3 +200,61 @@ def test_spark_pipeline_fuzz_vs_oracle(spark, tmp_path):
             if not ok:
                 mismatches.append((i, s, gv, wv))
     assert not mismatches, mismatches[:10]
+
+
+def test_spark_point_query_fuzz_vs_oracle(spark):
+    """120 seeded random points (incl. near-nodata and out-of-extent)
+    through the JVM interpolation path vs the numpy kernel, both modes."""
+    from pyspark.sql import functions as F
+
+    from python_rasterstats_spark.operators.point import point_query_df
+    from python_rasterstats_spark.sources.tables import (
+        ZONES_DDL, raster_to_tables,
+    )
+
+    rng = np.random.default_rng(4242)
+    arr = rng.normal(50, 12, size=(64, 96)).astype(np.float32)
+    arr[rng.random(arr.shape) < 0.12] = -9999.0
+    aff = (2.0, 0.0, -40.0, 0.0, -2.0, 77.0)
+    tiles, datasets = raster_to_tables(
+        spark, arr, aff, dataset="pfuzz", nodata=-9999.0, tile=32
+    )
+
+    pts = []
+    for i in range(120):
+        if i % 10 == 0:  # out of extent
+            x, y = rng.uniform(500, 900), rng.uniform(500, 900)
+        else:
+            x = -40.0 + rng.uniform(-5, 96 * 2 + 5)
+            y = 77.0 - rng.uniform(-5, 64 * 2 + 5)
+        pts.append({"type": "Point", "coordinates": [float(x), float(y)]})
+    zones = spark.createDataFrame(
+        [
+            {"zone_id": i, "collection": "p", "geometry_wkb": G.wkb_dumps(g),
+             "geom_type": "Point", "properties": {}}
+            for i, g in enumerate(pts)
+        ],
+        schema=ZONES_DDL,
+    )
+
+    for interp in ("bilinear", "nearest"):
+        got = {
+            r["zone_id"]: r["value"]
+            for r in point_query_df(
+                zones, tiles, datasets, dataset="pfuzz", interpolate=interp
+            ).collect()
+        }
+        assert len(got) == 120
+        bad = []
+        for i, g in enumerate(pts):
+            want = K.point_query_one(
+                g, arr, aff, nodata=-9999.0, interpolate=interp
+            )
+            have = got[i]
+            if want is None:
+                ok = have is None or (isinstance(have, float) and math.isnan(have))
+            else:
+                ok = have is not None and have == pytest.approx(want, rel=1e-12)
+            if not ok:
+                bad.append((interp, i, have, want))
+        assert not bad, bad[:5]
