@@ -110,6 +110,25 @@ def raster_to_tables(
     return tiles, datasets
 
 
+def write_bucketed_tiles(
+    tiles: DataFrame, table_name: str, *, buckets: int = 32
+) -> None:
+    """Persist the tile table bucketed+sorted by the join key.
+
+    With both join sides bucketed on (dataset, tile_col, tile_row), the
+    zone-cell ⋈ tiles join needs no tile-side Exchange even in the
+    sort-merge regime — the storage-layout answer for zone sets too large
+    to broadcast (SURVEY.md §4 join-strategy row; Iceberg's bucket
+    partition transform plays this role on a real warehouse)."""
+    (
+        tiles.write.mode("overwrite")
+        .bucketBy(buckets, "dataset", "tile_col", "tile_row")
+        .sortBy("dataset", "tile_col", "tile_row")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def features_to_zones(
     spark: SparkSession, vectors, layer: int = 0, dataset: str | None = None
 ) -> DataFrame:

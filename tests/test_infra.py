@@ -156,3 +156,39 @@ def test_plan_shape(corpus):
     # column pruning: the tiles scan must read only the join/payload columns
     scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln and "tiles" in ln]
     assert scan and "caption" not in scan[0] and "phash" not in scan[0]
+
+def test_bucketed_tiles_join_avoids_tile_shuffle(spark, corpus, tmp_path):
+    """Bucketed tile storage: the SMJ path (zones too big to broadcast)
+    joins without exchanging the tile side."""
+    from python_rasterstats_spark.operators.zonal import (
+        collect_dataset_meta, zone_cover_cells,
+    )
+    from python_rasterstats_spark.plans.explain import physical_plan
+    from python_rasterstats_spark.sources.tables import write_bucketed_tiles
+
+    tiles, zones, datasets = corpus
+    # managed table lands in ./spark-warehouse (gitignored)
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS tiles_bucketed")
+    shutil.rmtree(os.path.join(REPO, "spark-warehouse", "tiles_bucketed"),
+                  ignore_errors=True)
+    write_bucketed_tiles(tiles, "tiles_bucketed", buckets=8)
+    bt = spark.table("tiles_bucketed")
+
+    meta = collect_dataset_meta(datasets)
+    cells = zone_cover_cells(
+        zones.filter(F.col("collection") == "polygons").withColumn(
+            "dataset", F.lit("slope")
+        ),
+        meta, clip_to_grid=True,
+    )
+    joined = cells.hint("merge").join(
+        bt.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
+        ["dataset", "tile_col", "tile_row"],
+    )
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # exactly one Exchange (the cells side); the bucketed side has none
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert joined.count() > 0
