@@ -217,6 +217,20 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(tiles, every=4)
 
 
+def q_zonal_band2(spark, sf_dir):
+    """Band-selected zonal stats (S6 band parity): band 2 of slope_bands is
+    exactly 2×slope in float32, so the oracle doubles the slope pixels."""
+    out = _zonal(spark, "polygons", "slope_bands", band=2,
+                 stats=["count", "min", "max", "mean"])
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
 def q_zonal_gather_addstats(spark, sf_dir):
     """Gather-tier path (per-zone mosaic) with a user add_stats fn whose
     semantics are SQL-expressible (mean of the masked zone)."""
@@ -372,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_bilinear": q_point_bilinear,
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
+        "zonal_band2": q_zonal_band2,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -588,6 +603,15 @@ SELECT dataset, frame_idx, image_id, caption, phash FROM (
          CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS INT) AS frame_idx
   FROM read_parquet('{FIX}/tiles.parquet'))
 WHERE frame_idx % 4 = 0
+"""
+
+    sql["zonal_band2"] = _valid_join("'polygons_slope_default'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       round(min(value * 2) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS min_r,
+       round(max(value * 2) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS max_r,
+       round(avg(value * 2) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS mean_r
+FROM j GROUP BY zone_id
 """
 
     sql["zonal_gather_addstats"] = _valid_join("'polygons_slope_default'") + """

@@ -202,6 +202,7 @@ def gen_zonal_stats(
             stats=base_stats + pctiles, all_touched=all_touched,
             categorical=categorical, nodata=nodata, boundless=boundless,
             zone_func=zone_func,
+            band=band if isinstance(raster, TileRaster) else 1,
         )
 
     rows = {r["zone_id"]: r.asDict() for r in result.collect()}
@@ -279,6 +280,7 @@ def gen_point_query(
     result = point_query_df(
         zones, tiles, datasets, dataset=dataset,
         interpolate=interpolate, nodata=nodata, boundless=boundless,
+        band=band if isinstance(raster, TileRaster) else 1,
     )
     by_zone: dict[int, dict[int, float | None]] = {}
     for r in result.collect():

@@ -151,6 +151,9 @@ def build_arrays() -> dict:
         "dataset_mask": (dmask, AFF_DMASK, NODATA, "npy"),
         "nan_tiny": (nan_tiny, (1.0, 0.0, 0.0, 0.0, -1.0, 2.0), -999.0, "npy"),
         "nan_counts": (nan_counts, (1.0, 0.0, 1.0, 0.0, -1.0, 3.0), 0.0, "npy"),
+        # multi-band: band 1 = slope, band 2 = 2×slope (float32-exact) so
+        # band-selected stats have a trivial independent oracle
+        "slope_bands": (np.stack([slope, slope * 2]), AFF_SLOPE, NODATA, "npy"),
         # payload-roundtrip datasets (lossy fmts; PSNR≥40 dB rule)
         "slope_png": (slope, AFF_SLOPE, NODATA, "png"),
         "slope_qnt8": (slope, AFF_SLOPE, NODATA, "qnt8"),
@@ -376,34 +379,39 @@ def _matrix_stats(kwargs) -> tuple[list[str], bool]:
 
 def _tiles_rows(arrays, tile=TILE):
     for ds, (arr, aff, nodata, fmt) in arrays.items():
-        h, w = arr.shape
+        nbands = arr.shape[0] if arr.ndim == 3 else 1
+        h, w = arr.shape[-2:]
         ntr = math.ceil(h / tile)
         ntc = math.ceil(w / tile)
         for tr in range(ntr):
             for tc in range(ntc):
-                block = arr[tr * tile : (tr + 1) * tile, tc * tile : (tc + 1) * tile]
+                block = arr[..., tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile]
                 payload = C.encode_tile(block, fmt)
                 image_id = f"{ds}/{tc}_{tr}"
                 taff = K.window_affine(
-                    ((tr * tile, tr * tile + block.shape[0]),
-                     (tc * tile, tc * tile + block.shape[1])),
+                    ((tr * tile, tr * tile + block.shape[-2]),
+                     (tc * tile, tc * tile + block.shape[-1])),
                     aff,
                 )
+                decoded = C.decode_tile(payload, fmt)
                 yield {
                     "image_id": image_id,
                     "bytes": payload,
-                    "w": block.shape[1],
-                    "h": block.shape[0],
+                    "w": block.shape[-1],
+                    "h": block.shape[-2],
                     "fmt": fmt,
                     "caption": f"tile {image_id} of {ds}",
-                    "phash": C.phash64(C.decode_tile(payload, fmt)),
+                    "phash": C.phash64(
+                        decoded[0] if decoded.ndim == 3 else decoded
+                    ),
                     "dataset": ds,
                     "tile_col": tc,
                     "tile_row": tr,
                     "affine": list(taff),
                     "nodata": float(nodata) if nodata is not None else None,
                     "dtype": str(arr.dtype),
-                    "band_count": 1,
+                    "band_count": nbands,
                 }
 
 
@@ -455,6 +463,7 @@ DATASETS_SCHEMA = pa.schema(
         ("nodata", pa.float64()),
         ("dtype", pa.string()),
         ("fmt", pa.string()),
+        ("band_count", pa.int32()),
     ]
 )
 
@@ -489,13 +498,16 @@ def write_corpus(outdir: str, arrays=None, zones=None, tile=TILE) -> None:
         {
             "dataset": list(arrays),
             "affine": [list(v[1]) for v in arrays.values()],
-            "height": [v[0].shape[0] for v in arrays.values()],
-            "width": [v[0].shape[1] for v in arrays.values()],
+            "height": [v[0].shape[-2] for v in arrays.values()],
+            "width": [v[0].shape[-1] for v in arrays.values()],
             "tile_w": [tile] * len(arrays),
             "tile_h": [tile] * len(arrays),
             "nodata": [float(v[2]) if v[2] is not None else None for v in arrays.values()],
             "dtype": [str(v[0].dtype) for v in arrays.values()],
             "fmt": [v[3] for v in arrays.values()],
+            "band_count": [
+                v[0].shape[0] if v[0].ndim == 3 else 1 for v in arrays.values()
+            ],
         },
         DATASETS_SCHEMA,
     )
@@ -518,8 +530,8 @@ def write_oracles(outdir: str, arrays=None, zones=None) -> dict:
     # pixels
     pix = {k: [] for k in ("dataset", "prow", "pcol", "value", "is_nodata", "is_nan")}
     for ds, (arr, aff, nodata, fmt) in arrays.items():
-        if fmt != "npy":
-            continue  # lossy payloads are not stats-bearing
+        if fmt != "npy" or arr.ndim == 3:
+            continue  # lossy payloads / multiband: covered by band queries
         h, w = arr.shape
         rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         vals = arr.astype(np.float64).ravel()
@@ -663,6 +675,8 @@ def write_oracles(outdir: str, arrays=None, zones=None) -> dict:
                           "max_r", "valid_cnt", "phash_check")}
     for row in _tiles_rows(arrays):
         arr = np.asarray(C.decode_tile(row["bytes"], row["fmt"]), dtype=np.float64)
+        if arr.ndim == 3:
+            arr = arr[0]
         valid = np.isfinite(arr)
         if row["nodata"] is not None:
             valid &= arr != row["nodata"]

@@ -50,6 +50,8 @@ def tile_stats(tiles: DataFrame) -> DataFrame:
                 arr = np.asarray(
                     C.decode_tile(bytes(payload), fmt), dtype=np.float64
                 )
+                if arr.ndim == 3:  # multiband: feature-extract band 0
+                    arr = arr[0]
                 valid = np.isfinite(arr)
                 if nodata is not None and not pd.isna(nodata):
                     valid &= arr != float(nodata)
@@ -103,6 +105,8 @@ def resize_tiles(tiles: DataFrame, *, out: int = 8, method: str = "blockmean") -
                 pdf["image_id"], pdf["bytes"], pdf["fmt"]
             ):
                 arr = np.asarray(C.decode_tile(bytes(payload), fmt), dtype=np.float64)
+                if arr.ndim == 3:  # multiband: resize band 0
+                    arr = arr[0]
                 h, w = arr.shape
                 ph, pw = (-h) % out, (-w) % out
                 if ph or pw:

@@ -68,6 +68,7 @@ def zonal_gather_df(
     zone_func=None,
     add_stats: dict | None = None,
     raster_out: bool = False,
+    band: int = 1,
     max_zone_pixels: int = 64_000_000,
     max_cells_per_zone: int = 4_000_000,
 ) -> DataFrame:
@@ -124,7 +125,10 @@ def zonal_gather_df(
         ):
             if payload is None:
                 continue
-            block = np.asarray(C.decode_tile(bytes(payload), fmt), dtype=np.float64)
+            block = np.asarray(C.decode_tile(bytes(payload), fmt))
+            if block.ndim == 3:  # band select (S6, io.py:279)
+                block = block[band - 1]
+            block = block.astype(np.float64)
             rr0 = max(r0, tr * m["tile_h"])
             rr1 = min(r1, tr * m["tile_h"] + block.shape[0])
             cc0 = max(c0, tc * m["tile_w"])

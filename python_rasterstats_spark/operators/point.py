@@ -67,6 +67,7 @@ def point_query_df(
     interpolate: str = "bilinear",
     nodata: float | None = None,
     boundless: bool = True,
+    band: int = 1,
 ) -> DataFrame:
     """Raster values at each vertex of each zone geometry (J3 kNN join:
     k=1 nearest / k=4 bilinear grid neighbors)."""
@@ -167,9 +168,10 @@ def point_query_df(
                     if block is None:
                         if len(decode_cache) > 256:
                             decode_cache.clear()
-                        block = np.asarray(
-                            C.decode_tile(bytes(payload), fmt), dtype=np.float64
-                        )
+                        block = np.asarray(C.decode_tile(bytes(payload), fmt))
+                        if block.ndim == 3:  # band select (S6, io.py:279)
+                            block = block[band - 1]
+                        block = block.astype(np.float64)
                         decode_cache[key] = block
                 for pr, pc, pos in zip(prows, pcols, poss):
                     val = None

@@ -69,6 +69,7 @@ def collect_dataset_meta(datasets: DataFrame) -> dict:
             "tile_h": int(row["tile_h"]),
             "nodata": None if row["nodata"] is None else float(row["nodata"]),
             "fmt": row["fmt"],
+            "band_count": int(row.asDict().get("band_count") or 1),
         }
     return meta
 
@@ -222,6 +223,7 @@ def partial_kernel(
     nodata_override,
     want_counts: bool,
     zone_func=None,
+    band: int = 1,
 ) -> DataFrame:
     """Per-(zone, tile) refine + partial aggregation (J1 refine phase +
     P2-P5 masks + A1-A15 partial states)."""
@@ -269,6 +271,8 @@ def partial_kernel(
                             tile_cache.clear()
                         # native dtype end-to-end; stats accumulate in f64
                         decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
+                        if decoded.ndim == 3:  # band select (S6, io.py:279)
+                            decoded = decoded[band - 1]
                         tile_cache[tkey] = decoded
                 block = _cell_block(m, tr, tc, decoded, region)
                 if zone_func is not None and block is decoded:
@@ -446,6 +450,7 @@ def zonal_stats_df(
     max_cells_per_zone: int = 4_000_000,
     holistic_salt: int | None = None,
     meta: dict | None = None,
+    band: int = 1,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -473,6 +478,11 @@ def zonal_stats_df(
                 f"dataset {dataset!r} not in datasets table "
                 f"(have: {sorted(meta)})"
             )
+        if band > meta[dataset].get("band_count", 1):
+            raise ValueError(
+                f"band {band} out of range for dataset {dataset!r} "
+                f"(band_count={meta[dataset].get('band_count', 1)})"
+            )
         zones = zones.withColumn("dataset", F.lit(dataset))
 
     cells = zone_cover_cells(
@@ -498,6 +508,7 @@ def zonal_stats_df(
         nodata_override=nodata,
         want_counts=want_holistic or want_vc,
         zone_func=zone_func,
+        band=band,
     )
 
     scalars = partials.groupBy("zone_id").agg(

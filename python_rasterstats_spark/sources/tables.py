@@ -81,6 +81,7 @@ def raster_to_rows(
         "nodata": None if nodata is None else float(nodata),
         "dtype": str(array.dtype),
         "fmt": fmt,
+        "band_count": 1,
     }
     return rows, ds_row
 
@@ -92,7 +93,7 @@ TILES_DDL = (
 )
 DATASETS_DDL = (
     "dataset string, affine array<double>, height int, width int, tile_w int, "
-    "tile_h int, nodata double, dtype string, fmt string"
+    "tile_h int, nodata double, dtype string, fmt string, band_count int"
 )
 ZONES_DDL = (
     "zone_id long, collection string, geometry_wkb binary, geom_type string, "
