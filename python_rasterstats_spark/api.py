@@ -147,8 +147,12 @@ def gen_zonal_stats(
     """Zonal statistics generator (reference main.py:57-337 parity).
 
     Extra engine kwargs: ``spark`` (session; default shared local),
-    ``zone_func_mode`` ('elementwise'|'gather': whether zone_func commutes
-    with tiling — default 'elementwise' like +2/*0-style transforms).
+    ``zone_func_mode`` ('gather'|'elementwise'). Default 'gather': the user
+    fn sees the WHOLE masked zone array, exactly like the reference
+    (main.py:217-228) — safe for any transform (x - x.mean(), filters...).
+    'elementwise' is the opt-in scale path for transforms that commute with
+    tiling (x+2, x*3, clipping): it applies the fn per (zone, tile) partial
+    so the zone never has to be mosaicked in one task.
     """
     stats, _ = check_stats(stats, categorical)
 
@@ -172,15 +176,20 @@ def gen_zonal_stats(
         warnings.warn("Use `band` to specify band number", DeprecationWarning)
         band = band_num
     kwargs.pop("global_src_extent", None)  # accepted+ignored (main.py:74)
-    zone_func_mode = kwargs.pop("zone_func_mode", "elementwise")
+    zone_func_mode = kwargs.pop("zone_func_mode", "gather")
     kwargs.pop("progress", None)
 
     spark = spark or get_spark()
     feats, zones = _features_to_zone_rows(spark, vectors, layer)
     tiles, datasets, dataset = _resolve_raster(spark, raster, affine, nodata, band)
+    from .operators.zonal import collect_dataset_meta
+
+    meta = collect_dataset_meta(datasets)
+    dt = meta.get(dataset, {}).get("dtype")
+    int_keys = dt is not None and np.issubdtype(np.dtype(dt), np.integer)
 
     use_gather = bool(add_stats) or raster_out or (
-        zone_func is not None and zone_func_mode == "gather"
+        zone_func is not None and zone_func_mode != "elementwise"
     )
     pctiles = [s for s in stats if s.startswith("percentile_")]
     base_stats = [s for s in stats if not s.startswith("percentile_")]
@@ -201,7 +210,7 @@ def gen_zonal_stats(
             zones, tiles, datasets, dataset=dataset,
             stats=base_stats + pctiles, all_touched=all_touched,
             categorical=categorical, nodata=nodata, boundless=boundless,
-            zone_func=zone_func,
+            zone_func=zone_func, meta=meta,
             band=band if isinstance(raster, TileRaster) else 1,
         )
 
@@ -213,7 +222,10 @@ def gen_zonal_stats(
         feature_stats: dict = {}
         if categorical:
             vc = r.get("value_counts") or {}
-            pixel_count = {float(k): int(v) for k, v in vc.items()}
+            # reference keys.item() preserves the raster dtype
+            # (main.py:237-248): int keys for integer rasters
+            key = int if int_keys else float
+            pixel_count = {key(k): int(v) for k, v in vc.items()}
             if category_map:
                 pixel_count = K.remap_categories(category_map, pixel_count)
             feature_stats.update(pixel_count)
@@ -274,6 +286,11 @@ def gen_point_query(
     spark = spark or get_spark()
     feats, zones = _features_to_zone_rows(spark, vectors, layer)
     tiles, datasets, dataset = _resolve_raster(spark, raster, affine, nodata, band)
+    from .operators.zonal import collect_dataset_meta
+
+    meta = collect_dataset_meta(datasets)
+    dt = meta.get(dataset, {}).get("dtype")
+    int_keys = dt is not None and np.issubdtype(np.dtype(dt), np.integer)
 
     from .operators.point import point_query_df
 

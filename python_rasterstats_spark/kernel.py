@@ -471,14 +471,20 @@ def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bo
         isnodata = arr == nodata
     valid = cover & ~isnodata & ~isnan
     # keep the tile's native dtype until the (much smaller) valid subset;
-    # accumulate in float64 (same values: float32 → float64 is exact)
+    # float data accumulates in float64 (float32 → float64 is exact);
+    # integer data accumulates the sum in int64 like the reference does on
+    # 64-bit platforms (main.py:210-215, 262-267) so sums beyond 2^53 stay
+    # exact until the single final float() conversion
     vals = arr[valid]
     n = int(vals.size)
     v64 = vals.astype(np.float64, copy=False) if n else vals
+    is_int = np.issubdtype(arr.dtype, np.integer)
+    sum_i = int(vals.sum(dtype=np.int64)) if (is_int and n) else None
     out = {
         "cover_count": int(cover.sum()),
         "count": n,
         "sum": float(v64.sum()) if n else 0.0,
+        "sum_i": sum_i,
         "sumsq": float(v64 @ v64) if n else 0.0,
         "min": float(vals.min()) if n else None,
         "max": float(vals.max()) if n else None,
@@ -521,6 +527,7 @@ def finalize_stats(
     *,
     categorical: bool = False,
     category_map: dict | None = None,
+    int_keys: bool = False,
 ):
     """Final per-zone stats from merged partial state (reference: main.py:230-302).
 
@@ -542,13 +549,20 @@ def finalize_stats(
             pass  # no observed values → no categorical keys (main.py:230-234)
     else:
         if categorical:
+            # reference keys.item() preserves the raster dtype
+            # (main.py:237-248): int keys for integer rasters
+            key = int if int_keys else float
             pixel_count = {
-                float(v): int(c) for v, c in zip(vc_vals.tolist(), vc_cnts.tolist())
+                key(v): int(c) for v, c in zip(vc_vals.tolist(), vc_cnts.tolist())
             }
             if category_map:
                 pixel_count = remap_categories(category_map, pixel_count)
             out.update(pixel_count)
-        mean = merged["sum"] / n
+        # int rasters: the int64-accumulated sum (exact to 2^63) feeds sum
+        # and mean, converted to float once like reference float(masked.sum(
+        # dtype='int64')) (main.py:262-267)
+        total = merged["sum"] if merged.get("sum_i") is None else merged["sum_i"]
+        mean = total / n
         if "min" in stats:
             out["min"] = float(merged["min"])
         if "max" in stats:
@@ -558,10 +572,13 @@ def finalize_stats(
         if "count" in stats:
             out["count"] = n
         if "sum" in stats:
-            out["sum"] = float(merged["sum"])
+            out["sum"] = float(total)
         if "std" in stats:
-            var = merged["sumsq"] / n - mean * mean  # population (ddof=0),
-            out["std"] = float(math.sqrt(max(var, 0.0)))  # main.py:268-269
+            # reference masked.std() runs in plain float64 (no accum_dtype,
+            # main.py:268-269) — use the float-accumulated moments here
+            fmean = merged["sum"] / n
+            var = merged["sumsq"] / n - fmean * fmean  # population (ddof=0)
+            out["std"] = float(math.sqrt(max(var, 0.0)))
         if "median" in stats:
             out["median"] = weighted_percentile(vc_vals, vc_cnts, 50.0)
         if "majority" in stats:
@@ -666,12 +683,14 @@ def zonal_stats_one(
         part["nodata_count"] = int(((arr == fill) & rv).sum())
         part["nan_count"] = int((isnan & rv).sum())
         return finalize_stats(
-            part, stats, categorical=categorical, category_map=category_map
+            part, stats, categorical=categorical, category_map=category_map,
+            int_keys=np.issubdtype(array.dtype, np.integer),
         )
 
     part = partial_stats(arr, rv, fill, run_count or _needs_counts(stats))
     return finalize_stats(
-        part, stats, categorical=categorical, category_map=category_map
+        part, stats, categorical=categorical, category_map=category_map,
+        int_keys=np.issubdtype(array.dtype, np.integer),
     )
 
 

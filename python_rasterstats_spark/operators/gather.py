@@ -85,7 +85,8 @@ def zonal_gather_df(
 
     zcols = zones.select("zone_id", "dataset", "geometry_wkb", "properties_json")
     cells = zone_cover_cells(
-        zcols, meta, clip_to_grid=False, max_cells_per_zone=max_cells_per_zone
+        zcols, meta, clip_to_grid=False, max_cells_per_zone=max_cells_per_zone,
+        raise_beyond_extent=not boundless,
     )
     # zone_cover_cells only carries the join columns; re-attach properties
     joined = (
@@ -119,7 +120,11 @@ def zonal_gather_df(
             )
         nd = nodata if nodata is not None else m["nodata"]
         fill = -999.0 if nd is None else nd
-        canvas = np.full((r1 - r0, c1 - c0), fill, dtype=np.float64)
+        # mosaic in the raster's NATIVE dtype: the reference hands zone_func/
+        # add_stats the raw-band masked array (main.py:208-228), so e.g.
+        # float32 rounding in user transforms must match bit-for-bit
+        cdtype = np.dtype(m["dtype"]) if m.get("dtype") else np.float64
+        canvas = np.full((r1 - r0, c1 - c0), fill, dtype=cdtype)
         for tc, tr, payload, fmt in zip(
             pdf["tile_col"], pdf["tile_row"], pdf["bytes"], pdf["fmt"]
         ):
@@ -128,7 +133,6 @@ def zonal_gather_df(
             block = np.asarray(C.decode_tile(bytes(payload), fmt))
             if block.ndim == 3:  # band select (S6, io.py:279)
                 block = block[band - 1]
-            block = block.astype(np.float64)
             rr0 = max(r0, tr * m["tile_h"])
             rr1 = min(r1, tr * m["tile_h"] + block.shape[0])
             cc0 = max(c0, tc * m["tile_w"])

@@ -70,6 +70,7 @@ def collect_dataset_meta(datasets: DataFrame) -> dict:
             "nodata": None if row["nodata"] is None else float(row["nodata"]),
             "fmt": row["fmt"],
             "band_count": int(row.asDict().get("band_count") or 1),
+            "dtype": row.asDict().get("dtype"),
         }
     return meta
 
@@ -77,11 +78,12 @@ def collect_dataset_meta(datasets: DataFrame) -> dict:
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a (small) driver-side table so the following Arrow stage
     parallelizes — zone tables often arrive as one parquet file → one task.
-    The shuffle moves only zone rows (tiny next to tile payloads)."""
+    The shuffle moves only zone rows (tiny next to tile payloads).
+    Unconditional: inspecting ``df.rdd.getNumPartitions()`` would force an
+    RDD conversion of the plan per invocation, which costs more than the
+    round-robin exchange of a small table."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
 
 
 def _effective_geom(wkb: bytes, aff):
@@ -113,6 +115,7 @@ def zone_cover_cells(
     *,
     clip_to_grid: bool,
     max_cells_per_zone: int = 4_000_000,
+    raise_beyond_extent: bool = False,
 ) -> DataFrame:
     """Explode each zone into its covering tile keys (J1 filter phase).
 
@@ -120,6 +123,8 @@ def zone_cover_cells(
     (main.py:189-191, io.py:156-161) re-expressed as join-key generation.
     With ``clip_to_grid=False`` cells outside the tile grid are also emitted
     (they join to nothing and synthesize boundless nodata fill — J4).
+    ``raise_beyond_extent`` reproduces the reference's boundless=False
+    guard (io.py:323-326): a zone window outside the dataset extent raises.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,6 +139,13 @@ def zone_cover_cells(
                 aff = m["affine"]
                 geom = _effective_geom(wkb, aff)
                 (r0, r1), (c0, c1) = K.bounds_window(G.geom_bounds(geom), aff)
+                if raise_beyond_extent and K.beyond_extent(
+                    ((r0, r1), (c0, c1)), (m["height"], m["width"])
+                ):
+                    raise ValueError(
+                        "Window/bounds is outside dataset extent, "
+                        "boundless reads are disabled"
+                    )
                 tr0, tr1 = math.floor(r0 / m["tile_h"]), math.floor((r1 - 1) / m["tile_h"])
                 tc0, tc1 = math.floor(c0 / m["tile_w"]), math.floor((c1 - 1) / m["tile_w"])
                 if clip_to_grid:
@@ -182,6 +194,7 @@ _PARTIAL_SCHEMA = T.StructType(
         T.StructField("zone_id", T.LongType()),
         T.StructField("count", T.LongType()),
         T.StructField("sum", T.DoubleType()),
+        T.StructField("sum_i", T.LongType()),
         T.StructField("sumsq", T.DoubleType()),
         T.StructField("min", T.DoubleType()),
         T.StructField("max", T.DoubleType()),
@@ -193,16 +206,18 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def _cell_block(m, tile_row, tile_col, decoded, region):
+def _cell_block(m, tile_row, tile_col, decoded, region, fill):
     """Pixel block for ``region`` (global window) inside one cell's nominal
     extent; pixels without stored data become nodata fill (J4 boundless).
 
     The windowed-read semantics mirror Raster.read (io.py:292-362) with the
     tile grid taking the place of the rasterio dataset. ``decoded`` is the
-    tile's decoded pixel array (or None for a missing tile).
+    tile's decoded pixel array (or None for a missing tile). ``fill`` must
+    be the EFFECTIVE nodata (override if set, else dataset nodata, else
+    -999) — the reference fills boundless reads with the effective value
+    (io.py:331-340), so fill pixels always fail the validity test.
     """
     (rr0, rr1), (cc0, cc1) = region
-    fill = m["nodata"] if m["nodata"] is not None else -999.0
     if decoded is None:
         out = np.full((rr1 - rr0, cc1 - cc0), fill, dtype=np.float64)
         return out
@@ -274,11 +289,11 @@ def partial_kernel(
                         if decoded.ndim == 3:  # band select (S6, io.py:279)
                             decoded = decoded[band - 1]
                         tile_cache[tkey] = decoded
-                block = _cell_block(m, tr, tc, decoded, region)
-                if zone_func is not None and block is decoded:
-                    block = block.copy()  # user fn may mutate in place
                 nd = nodata_override if nodata_override is not None else m["nodata"]
                 nd = -999.0 if nd is None else nd  # io.py:331-340 default
+                block = _cell_block(m, tr, tc, decoded, region, nd)
+                if zone_func is not None and block is decoded:
+                    block = block.copy()  # user fn may mutate in place
                 if zone_func is not None:
                     # elementwise pre-transform (main.py:217-228); the masked
                     # array the user fn sees is this partial's block
@@ -306,6 +321,7 @@ def partial_kernel(
                 rows["zone_id"].append(zid)
                 rows["count"].append(p["count"])
                 rows["sum"].append(p["sum"])
+                rows["sum_i"].append(p["sum_i"])
                 rows["sumsq"].append(p["sumsq"])
                 rows["min"].append(p["min"])
                 rows["max"].append(p["max"])
@@ -488,14 +504,36 @@ def zonal_stats_df(
     cells = zone_cover_cells(
         zones, meta, clip_to_grid=not need_missing,
         max_cells_per_zone=max_cells_per_zone,
+        raise_beyond_extent=not boundless,
     )
 
     tile_side = tiles.select(
         "dataset", "tile_col", "tile_row", "bytes", "fmt"
     )
     keys = ["dataset", "tile_col", "tile_row"]
-    if need_missing:
-        # left join: absent tiles synthesize boundless nodata fill (J4)
+    if need_missing and broadcast_zones:
+        # J4 without shuffling tiles: Spark cannot broadcast the LEFT side
+        # of a left join, so a plain cells⟕tiles would fall to SMJ and
+        # shuffle the payload-bearing tile corpus. Instead: inner broadcast
+        # join for the present pairs, plus a key-only second tile scan
+        # (column-pruned — no payload bytes read) to find cells with NO
+        # stored tile; those rows get a NULL payload and synthesize their
+        # boundless nodata fill from the cover mask alone (decoded=None path
+        # in the partial kernel). Mirrors the point operator's
+        # inner-broadcast + reinstatement plan (operators/point.py:140-148).
+        present = F.broadcast(cells).join(tile_side, keys, "inner")
+        present_keys = F.broadcast(cells.select("zone_id", *keys)).join(
+            tiles.select(*keys), keys, "inner"
+        )
+        missing = (
+            cells.join(F.broadcast(present_keys), ["zone_id", *keys], "left_anti")
+            .withColumn("bytes", F.lit(None).cast("binary"))
+            .withColumn("fmt", F.lit(None).cast("string"))
+        )
+        joined = present.unionByName(missing)
+    elif need_missing:
+        # SMJ regime (zone set too large to broadcast): plain left join —
+        # absent tiles arrive as NULL payloads directly (J4)
         joined = cells.join(tile_side, keys, "left")
     else:
         left = F.broadcast(cells) if broadcast_zones else cells
@@ -514,6 +552,7 @@ def zonal_stats_df(
     scalars = partials.groupBy("zone_id").agg(
         F.sum("count").alias("count"),
         F.sum("sum").alias("sum"),
+        F.sum("sum_i").alias("sum_i"),
         F.sum("sumsq").alias("sumsq"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
@@ -521,14 +560,24 @@ def zonal_stats_df(
         F.sum("nan_count").alias("nan_count"),
     )
 
-    result = zones.select("zone_id").join(scalars, "zone_id", "left")
+    # join-back (J2): per-zone aggregates are ≤1 row/zone — same cardinality
+    # class as the broadcastable zone side, so broadcast them and keep the
+    # whole plan SMJ-free in the broadcast regime
+    _bc = F.broadcast if broadcast_zones else (lambda d: d)
+    result = zones.select("zone_id").join(_bc(scalars), "zone_id", "left")
     if want_holistic or want_vc:
         hol = holistic_merge(partials, pctiles, want_vc, salt=holistic_salt)
-        result = result.join(hol, "zone_id", "left")
+        result = result.join(_bc(hol), "zone_id", "left")
 
     cnt = F.coalesce(F.col("count"), F.lit(0))
     nonempty = cnt > 0
-    mean = F.col("sum") / cnt
+    # int rasters: the int64-accumulated total (sum_i) feeds sum/mean,
+    # matching reference float(masked.sum(dtype='int64')) (main.py:262-267);
+    # std keeps the float64 moments (reference masked.std() has no
+    # accum_dtype, main.py:268-269)
+    total = F.coalesce(F.col("sum_i").cast("double"), F.col("sum"))
+    mean = total / cnt
+    fmean = F.col("sum") / cnt
     cols = [F.col("zone_id")]
     for s in stats:
         if s == "count":
@@ -537,11 +586,13 @@ def zonal_stats_df(
             cols.append(F.when(nonempty, mean).alias("mean"))
         elif s == "std":
             # population std from merged moments (A6; ddof=0, main.py:268-269)
-            var = F.col("sumsq") / cnt - mean * mean
+            var = F.col("sumsq") / cnt - fmean * fmean
             cols.append(F.when(nonempty, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std"))
         elif s == "range":
             cols.append(F.when(nonempty, F.col("max") - F.col("min")).alias("range"))
-        elif s in ("min", "max", "sum"):
+        elif s == "sum":
+            cols.append(F.when(nonempty, total).alias("sum"))
+        elif s in ("min", "max"):
             cols.append(F.when(nonempty, F.col(s)).alias(s))
         elif s == "nodata":
             cols.append(F.coalesce(F.col("nodata_count"), F.lit(0)).cast("double").alias("nodata"))

@@ -30,6 +30,7 @@ def _merge_partial_tables(left: DataFrame) -> DataFrame:
     scalars = left.groupBy("zone_id").agg(
         F.sum("count").alias("count"),
         F.sum("sum").alias("sum"),
+        F.sum("sum_i").alias("sum_i"),
         F.sum("sumsq").alias("sumsq"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
@@ -55,7 +56,7 @@ def _merge_partial_tables(left: DataFrame) -> DataFrame:
         )
     )
     return scalars.join(vc, "zone_id", "left").select(
-        "zone_id", "count", "sum", "sumsq", "min", "max",
+        "zone_id", "count", "sum", "sum_i", "sumsq", "min", "max",
         "nodata_count", "nan_count",
         F.coalesce("vc_vals", F.array().cast("array<double>")).alias("vc_vals"),
         F.coalesce("vc_cnts", F.array().cast("array<bigint>")).alias("vc_cnts"),
@@ -150,6 +151,7 @@ def current_stats(
         merged = {
             "count": int(row["count"]),
             "sum": float(row["sum"]),
+            "sum_i": None if pd.isna(row.get("sum_i")) else int(row["sum_i"]),
             "sumsq": float(row["sumsq"]),
             "min": row["min"],
             "max": row["max"],
