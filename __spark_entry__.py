@@ -231,6 +231,32 @@ def q_zonal_band2(spark, sf_dir):
     )
 
 
+def q_zonal_hd_sketch(spark, sf_dir):
+    """Sketch-path zonal quantiles on the high-cardinality continuous float
+    corpus (slope_hd: 256×256, ~99% distinct values), holistic_mode='auto':
+    the exact (value,count) merge would move ~1 pair per pixel, so partials
+    emit bounded uniform-rank quantile summaries instead
+    (kernel.sketch_weighted). count/min/max stay EXACT under the sketch;
+    median/percentiles carry a measured tolerance ≲0.02 on this corpus
+    (tests/test_sketch.py asserts the bound and the rounding margin), so
+    integer rounding makes the comparison deterministic."""
+    out = _zonal(
+        spark, "hd_zones", "slope_hd",
+        stats=["count", "min", "max", "median",
+               "percentile_25", "percentile_90"],
+        holistic_mode="auto", sketch_px=256,
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("median", 0).alias("median_r0"),
+        F.round("percentile_25", 0).alias("p25_r0"),
+        F.round("percentile_90", 0).alias("p90_r0"),
+    )
+
+
 def q_zonal_gather_addstats(spark, sf_dir):
     """Gather-tier path (per-zone mosaic) with a user add_stats fn whose
     semantics are SQL-expressible (mean of the masked zone)."""
@@ -387,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
         "zonal_band2": q_zonal_band2,
+        "zonal_hd_sketch": q_zonal_hd_sketch,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -398,7 +425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_neardup": q_emb_neardup,
-        # rows-only checks (hash-family ops with no SQL twin):
+        # hash-family ops: DuckDB has no xxhash64 twin, so their oracles
+        # SELECT committed expected-output parquet generated by an
+        # independent pure-Python reimplementation (tools/oracle_hashes.py,
+        # from-scratch XXH64) over the sf0.01 tables — the sf the driver
+        # gates at.
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "ann_lsh": q_ann_lsh,
@@ -614,6 +645,17 @@ SELECT zone_id,
 FROM j GROUP BY zone_id
 """
 
+    sql["zonal_hd_sketch"] = _valid_join("'hd_slope_percentiles'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       round(min(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS min_r,
+       round(max(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS max_r,
+       round(quantile_cont(value, 0.5) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS median_r0,
+       round(quantile_cont(value, 0.25) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p25_r0,
+       round(quantile_cont(value, 0.90) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p90_r0
+FROM j GROUP BY zone_id
+"""
+
     sql["zonal_gather_addstats"] = _valid_join("'polygons_slope_default'") + """
 SELECT zone_id,
        count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
@@ -750,6 +792,24 @@ SELECT query_id,
 FROM c
 QUALIFY rank <= 5
 """
+    # hash-family expected outputs (tools/oracle_hashes.py; valid at the
+    # driver's correctness sf of 0.01 — zonal/tile queries are sf-invariant)
+    hora = os.path.join(REPO, "data", "oracles", "sf0_01")
+    sql["doc_minhash_lsh"] = (
+        f"SELECT doc_a, doc_b, est_jaccard FROM "
+        f"read_parquet('{hora}/doc_minhash_lsh.parquet')"
+    )
+    sql["doc_simhash"] = (
+        f"SELECT doc_id, simhash FROM read_parquet('{hora}/doc_simhash.parquet')"
+    )
+    sql["ann_lsh"] = (
+        f"SELECT query_id, neighbor_id, cos_r FROM "
+        f"read_parquet('{hora}/ann_lsh.parquet')"
+    )
+    sql["tile_resize"] = (
+        f"SELECT image_id, out_w, out_h, payload_md5 FROM "
+        f"read_parquet('{hora}/tile_resize.parquet')"
+    )
     return sql
 
 

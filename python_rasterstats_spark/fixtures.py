@@ -157,6 +157,18 @@ def build_arrays() -> dict:
         # payload-roundtrip datasets (lossy fmts; PSNR≥40 dB rule)
         "slope_png": (slope, AFF_SLOPE, NODATA, "png"),
         "slope_qnt8": (slope, AFF_SLOPE, NODATA, "qnt8"),
+        # high-cardinality continuous field (256×256, ~99% distinct float32
+        # values): the sketch-path fixture — exact (value,count) merging
+        # degenerates to one pair per pixel here, exercising
+        # holistic_mode='auto' (kernel.sketch_weighted)
+        "slope_hd": (
+            _smooth_field(256, 256, np.random.default_rng(SEED + 5)).astype(
+                np.float32
+            ),
+            AFF_SLOPE,
+            NODATA,
+            "npy",
+        ),
     }
 
 
@@ -297,6 +309,12 @@ def build_zones() -> list[dict]:
         )
     )
 
+    # large zones on the 256×256 slope_hd grid (~61k / ~13k pixels): big
+    # enough that every covering tile partial exceeds the sketch threshold.
+    # Appended LAST so earlier collections keep their historical zone_ids.
+    colls.append(("hd_zones", [pxbox(2.2, 2.2, 250.4, 251.6),
+                               pxbox(40.5, 60.5, 140.5, 190.5)]))
+
     out = []
     zid = 0
     for coll, geoms in colls:
@@ -355,6 +373,12 @@ QUERY_MATRIX: dict[str, tuple[str, str, dict]] = {
         {"stats": ["count"]},
     ),
     "no_overlap_slope": ("polygons_no_overlap", "slope", {"stats": ["count"]}),
+    "hd_slope_percentiles": (
+        "hd_zones",
+        "slope_hd",
+        {"stats": ["count", "min", "max", "median"],
+         "percentiles": ["percentile_25", "percentile_90"]},
+    ),
     "nan_tiny": ("nan_tiny_poly", "nan_tiny", {"stats": ["count", "mean", "nan"]}),
     "nan_counts": (
         "nan_counts_polys",

@@ -454,13 +454,22 @@ def key_assoc_val(d, func):
 # ---------------------------------------------------------------------------
 
 
-def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bool):
+def partial_stats(
+    values: np.ndarray,
+    cover: np.ndarray,
+    nodata,
+    want_counts: bool,
+    sketch_px: int | None = None,
+):
     """Partial aggregation state for one (zone, tile) pixel block.
 
     ``values``: 2D pixel block; ``cover``: boolean mask of same shape.
     Returns a dict of merge-able scalars + optional (vals, cnts) arrays.
     Mirrors the mask construction of reference main.py:196-208 and the
-    nodata/nan accounting of main.py:294-302.
+    nodata/nan accounting of main.py:294-302. With ``sketch_px`` set,
+    partials larger than that many valid pixels emit a ≤sketch_px-point
+    quantile summary instead of the exact value counts (see sketch_values)
+    — only valid when the downstream merge needs median/percentiles only.
     """
     arr = np.asarray(values)
     is_float = np.issubdtype(arr.dtype, np.floating)
@@ -479,7 +488,10 @@ def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bo
     n = int(vals.size)
     v64 = vals.astype(np.float64, copy=False) if n else vals
     is_int = np.issubdtype(arr.dtype, np.integer)
-    sum_i = int(vals.sum(dtype=np.int64)) if (is_int and n) else None
+    # 0 (not None) for empty int partials: a non-null int64 column survives
+    # the Arrow→pandas round trip as int64 (nullable would decay to float64
+    # and silently round beyond 2^53)
+    sum_i = int(vals.sum(dtype=np.int64)) if (is_int and n) else (0 if is_int else None)
     out = {
         "cover_count": int(cover.sum()),
         "count": n,
@@ -492,13 +504,54 @@ def partial_stats(values: np.ndarray, cover: np.ndarray, nodata, want_counts: bo
         "nan_count": int((isnan & cover).sum()),
     }
     if want_counts and n:
-        uvals, ucnts = np.unique(vals, return_counts=True)
-        out["vc_vals"] = uvals.astype(np.float64, copy=False)
-        out["vc_cnts"] = ucnts.astype(np.int64)
+        if sketch_px is not None and n > sketch_px:
+            out["vc_vals"], out["vc_cnts"] = sketch_values(v64, sketch_px)
+        else:
+            uvals, ucnts = np.unique(vals, return_counts=True)
+            out["vc_vals"] = uvals.astype(np.float64, copy=False)
+            out["vc_cnts"] = ucnts.astype(np.int64)
     else:
         out["vc_vals"] = np.empty(0, dtype=np.float64)
         out["vc_cnts"] = np.empty(0, dtype=np.int64)
     return out
+
+
+def sketch_weighted(vals: np.ndarray, cnts: np.ndarray, S: int):
+    """Compress sorted weighted points to ≤S points (uniform-rank quantile
+    summary). Deterministic, mergeable: pick the values at S evenly spaced
+    ranks (endpoints pinned to the true min/max) and redistribute the total
+    count over them. Any quantile estimated from the summary has rank error
+    ≤ n/S; total count, min and max are preserved exactly.
+
+    This is the engine's scale fallback for holistic stats on continuous
+    float rasters, where exact (value, count) merging degenerates to one
+    pair per pixel (VERDICT r1 'What's missing #2'). Exact merging stays the
+    default (reference main.py:270-292 parity)."""
+    n = int(cnts.sum())
+    if vals.size <= S or n <= S:
+        return vals, cnts
+    cum = np.cumsum(cnts)
+    # bucket rank edges floor(j*n/S): weights n//S or n//S+1, interleaved
+    # evenly across the rank range (piling the remainder at one end would
+    # bias every quantile of non-divisible partials — edge-clipped tiles)
+    edges = np.floor(np.arange(S + 1) * (n / S)).astype(np.int64)
+    edges[-1] = n
+    w = np.diff(edges)
+    mids = (edges[:-1] + edges[1:] - 1) / 2.0  # middle 0-based rank of bucket
+    # rank r lives in the first point whose cumulative count exceeds it
+    idx = np.minimum(np.searchsorted(cum, mids, side="right"), vals.size - 1)
+    idx[0], idx[-1] = 0, vals.size - 1
+    pts = vals[idx]
+    u, inv = np.unique(pts, return_inverse=True)
+    m = np.zeros(len(u), dtype=np.int64)
+    np.add.at(m, inv, w)
+    return u, m
+
+
+def sketch_values(vals: np.ndarray, S: int):
+    """sketch_weighted for raw (unweighted, unsorted) values."""
+    vals = np.sort(np.asarray(vals, dtype=np.float64))
+    return sketch_weighted(vals, np.ones(vals.size, dtype=np.int64), S)
 
 
 def weighted_percentile(values: np.ndarray, counts: np.ndarray, q: float) -> float:

@@ -4,38 +4,40 @@ Replaces the reference's per-feature Python loop (main.py:183-337) with a
 Spark plan:
 
     zones ──mapInPandas──▶ zone_cells (zone_id, dataset, tile_col, tile_row)
-                                   │  equi-join on tile key           [J1]
-    tiles ─────────────────────────┤  (broadcast zone side, or SMJ;
-                                   │   LEFT join when boundless-nodata
-                                   ▼   accounting is requested)       [J4]
+                                   │  inner equi-join on tile key,
+    tiles ─────────────────────────┤  zone side broadcast (or SMJ)    [J1]
+                                   │  + key-only anti join synthesizes
+                                   ▼  missing-tile fill cells         [J4]
             mapInPandas partial kernel: decode payload, rasterize the
             zone onto the tile's sub-grid (global alignment → seam-safe),
             mask, emit mergeable partial structs                      [P2-P5]
                                    │
-              ┌────────────────────┴───────────────────┐
-              ▼ groupBy(zone_id) JVM partial agg        ▼ explode (value, count)
-        scalar stats: sum/min/max/moments         groupBy(zone_id, value) sum
-        (whole-stage codegen, map-side combine)         │
-              │                                         ▼ applyInPandas per zone
-              │                                   holistic stats: exact median/
-              │                                   percentiles/majority/minority/
-              │                                   unique/value_counts     [A7-A15]
-              └────────────────┬────────────────────────┘
-                               ▼ left join back to zones               [J2]
+         scalar-only: groupBy(zone_id) JVM agg (whole-stage codegen,
+         map-side combine)                                         [A1-A6]
+         holistic: ONE groupBy(zone_id) applyInPandas merging scalars +
+         (value, count) arrays together — exact median/percentiles/
+         majority/minority/unique/value_counts; optional salted pre-merge
+         and quantile-summary sketching for continuous rasters    [A7-A15]
+                                   │
+                                   ▼ broadcast join back to zones      [J2]
                      final projection w/ empty-zone semantics          [A17]
 
 Scale properties:
-- tiles are never shuffled in the common path: the zone_cells side is
-  broadcast (inner join) so the scan streams map-side; the only shuffles
-  are the two zone-keyed aggregations, whose payload is tiny partial
-  structs, with map-side combine done by Catalyst.
+- tiles are never shuffled in ANY path (incl. boundless nodata): the
+  zone_cells side is broadcast (inner join) so the scan streams map-side;
+  the only shuffle is the zone-keyed merge, whose payload is partial
+  structs, with map-side combine (scalar path) or salted pre-merge
+  (holistic path) bounding the reduce fan-in.
 - skewed (continent-sized) zones fan out to one row per covering tile, so
-  their partial work spreads across all executors; the value-count merge is
-  keyed by (zone, value) which re-spreads the merge of hot zones
-  (north_rule salting requirement — the value dimension IS the salt).
-- holistic stats stay exact: merged (value, count) pairs reproduce
-  np.percentile's linear interpolation and np.unique-order tiebreaks
-  (reference main.py:270-292, utils.py:117-122).
+  their partial work spreads across all executors; the salted pre-merge
+  re-spreads the merge of hot zones (north_rule salting requirement).
+- holistic stats are exact by default: merged (value, count) pairs
+  reproduce np.percentile's linear interpolation and np.unique-order
+  tiebreaks (reference main.py:270-292, utils.py:117-122). On continuous
+  float rasters, where the exact domain degenerates to one pair per pixel,
+  ``holistic_mode='auto'|'sketch'`` bounds the shuffle with a deterministic
+  uniform-rank quantile summary (kernel.sketch_weighted) — count/min/max
+  stay exact, quantile rank error ≤ n/(8×sketch_px).
 """
 
 from __future__ import annotations
@@ -189,21 +191,32 @@ def zone_cover_cells(
 # stage 2 — partial kernel
 # ---------------------------------------------------------------------------
 
-_PARTIAL_SCHEMA = T.StructType(
-    [
-        T.StructField("zone_id", T.LongType()),
-        T.StructField("count", T.LongType()),
-        T.StructField("sum", T.DoubleType()),
-        T.StructField("sum_i", T.LongType()),
-        T.StructField("sumsq", T.DoubleType()),
-        T.StructField("min", T.DoubleType()),
-        T.StructField("max", T.DoubleType()),
-        T.StructField("nodata_count", T.LongType()),
-        T.StructField("nan_count", T.LongType()),
-        T.StructField("vc_vals", T.ArrayType(T.DoubleType())),
-        T.StructField("vc_cnts", T.ArrayType(T.LongType())),
-    ]
-)
+def _partial_schema(compact_vc: bool = False) -> T.StructType:
+    """Partial-row schema. ``compact_vc`` stores the value-count arrays as
+    float32 values + int32 counts — HALF the holistic shuffle bytes, and
+    lossless when the raster dtype is float32 (every pixel value is
+    float32-representable; per-partial counts fit int32 by construction:
+    a partial covers at most one tile)."""
+    vt = T.FloatType() if compact_vc else T.DoubleType()
+    ct = T.IntegerType() if compact_vc else T.LongType()
+    return T.StructType(
+        [
+            T.StructField("zone_id", T.LongType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("sum_i", T.LongType()),
+            T.StructField("sumsq", T.DoubleType()),
+            T.StructField("min", T.DoubleType()),
+            T.StructField("max", T.DoubleType()),
+            T.StructField("nodata_count", T.LongType()),
+            T.StructField("nan_count", T.LongType()),
+            T.StructField("vc_vals", T.ArrayType(vt)),
+            T.StructField("vc_cnts", T.ArrayType(ct)),
+        ]
+    )
+
+
+_PARTIAL_SCHEMA = _partial_schema(False)
 
 
 def _cell_block(m, tile_row, tile_col, decoded, region, fill):
@@ -239,15 +252,20 @@ def partial_kernel(
     want_counts: bool,
     zone_func=None,
     band: int = 1,
+    sketch_px: int | None = None,
+    compact_vc: bool = False,
 ) -> DataFrame:
     """Per-(zone, tile) refine + partial aggregation (J1 refine phase +
     P2-P5 masks + A1-A15 partial states)."""
+    schema = _partial_schema(compact_vc)
+    vdt = np.float32 if compact_vc else np.float64
+    cdt = np.int32 if compact_vc else np.int64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict = {}
         tile_cache: dict = {}
         for pdf in batches:
-            rows = {name: [] for name in _PARTIAL_SCHEMA.fieldNames()}
+            rows = {name: [] for name in schema.fieldNames()}
             for zid, ds, tc, tr, wkb, payload, fmt in zip(
                 pdf["zone_id"], pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
                 pdf["geometry_wkb"], pdf["bytes"], pdf["fmt"],
@@ -307,11 +325,14 @@ def partial_kernel(
                         masked = ret
                     tblock = np.ma.filled(masked.astype(np.float64), np.nan)
                     cover2 = ~np.ma.getmaskarray(masked)
-                    p = K.partial_stats(tblock, cover2, None, want_counts)
+                    p = K.partial_stats(
+                        tblock, cover2, None, want_counts, sketch_px=sketch_px
+                    )
                     p["nodata_count"] = int(((block == nd) & rv).sum())
                     p["nan_count"] = int((isnan & rv).sum())
                 else:
-                    p = K.partial_stats(block, rv, nd, want_counts)
+                    p = K.partial_stats(block, rv, nd, want_counts,
+                                        sketch_px=sketch_px)
                 if (
                     p["count"] == 0
                     and p["nodata_count"] == 0
@@ -327,12 +348,12 @@ def partial_kernel(
                 rows["max"].append(p["max"])
                 rows["nodata_count"].append(p["nodata_count"])
                 rows["nan_count"].append(p["nan_count"])
-                rows["vc_vals"].append(p["vc_vals"].tolist())
-                rows["vc_cnts"].append(p["vc_cnts"].tolist())
+                rows["vc_vals"].append(p["vc_vals"].astype(vdt, copy=False))
+                rows["vc_cnts"].append(p["vc_cnts"].astype(cdt, copy=False))
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
-    return joined.mapInPandas(gen, _PARTIAL_SCHEMA)
+    return joined.mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -340,9 +361,17 @@ def partial_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _holistic_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
+def _merged_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
     fields = [
         T.StructField("zone_id", T.LongType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("sum_i", T.LongType()),
+        T.StructField("sumsq", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+        T.StructField("nodata_count", T.LongType()),
+        T.StructField("nan_count", T.LongType()),
         T.StructField("median", T.DoubleType()),
         T.StructField("majority", T.DoubleType()),
         T.StructField("minority", T.DoubleType()),
@@ -356,16 +385,7 @@ def _holistic_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
     return T.StructType(fields)
 
 
-_VC_SCHEMA = T.StructType(
-    [
-        T.StructField("zone_id", T.LongType()),
-        T.StructField("vc_vals", T.ArrayType(T.DoubleType())),
-        T.StructField("vc_cnts", T.ArrayType(T.LongType())),
-    ]
-)
-
-
-def _merge_vc_arrays(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_vc(pdf: pd.DataFrame):
     """Merge per-partial (value, count) arrays: concat → unique → scatter-add.
     Associative, so it works as both the salted pre-merge and the final."""
     vals = np.concatenate(
@@ -378,71 +398,96 @@ def _merge_vc_arrays(pdf: pd.DataFrame) -> pd.DataFrame:
     u, inv = np.unique(vals, return_inverse=True)
     merged = np.zeros(len(u), dtype=np.int64)
     np.add.at(merged, inv, cnts)
-    return pd.DataFrame(
-        {
-            "zone_id": [pdf["zone_id"].iloc[0]],
-            "vc_vals": [u.tolist()],
-            "vc_cnts": [merged.tolist()],
-        }
-    )
+    return u, merged
 
 
-def holistic_merge(
+def _merge_scalars(pdf: pd.DataFrame) -> dict:
+    """Fold a zone's partial rows into one scalar state (A1-A6, A13-A14)."""
+    si = pdf["sum_i"]
+    mins, maxs = pdf["min"].dropna(), pdf["max"].dropna()
+    return {
+        "count": int(pdf["count"].sum()),
+        "sum": float(pdf["sum"].sum()),
+        "sum_i": int(si.dropna().sum()) if si.notna().any() else None,
+        "sumsq": float(pdf["sumsq"].sum()),
+        "min": float(mins.min()) if len(mins) else None,
+        "max": float(maxs.max()) if len(maxs) else None,
+        "nodata_count": int(pdf["nodata_count"].sum()),
+        "nan_count": int(pdf["nan_count"].sum()),
+    }
+
+
+def merged_stats(
     partials: DataFrame,
     pctiles: list[str],
     want_vc: bool,
     *,
     salt: int | None = None,
+    recompress_px: int | None = None,
 ) -> DataFrame:
-    """Exact holistic stats from merged (value, count) arrays (A7-A15).
+    """Scalar AND holistic merges in ONE zone-keyed applyInPandas (A1-A15).
 
-    One shuffle: groupBy(zone_id).applyInPandas merges the per-(zone,tile)
-    value-count arrays and finalizes in the same task — per-task memory is
-    bounded by the zone's distinct-value count. For zones whose value
-    domain is too large for one task (planet-sized zones over continuous
-    rasters), ``salt`` enables the north_rule's two-stage merge: a
-    pre-merge keyed by (zone_id, upstream-partition-salt) collapses
-    duplicates early, then the final merge sees ≤salt rows per zone.
+    One shuffle, and — unlike two separate aggregations consuming the same
+    ``partials`` subtree — the upstream partial kernel (decode + rasterize)
+    is evaluated exactly once. Per-task memory is bounded by the zone's
+    distinct-value count (exact mode) or by salt × recompress_px points
+    (sketch mode).
+
+    ``salt`` enables the two-stage merge for hot zones: a pre-merge keyed by
+    (zone_id, upstream-partition-salt) collapses duplicate values early, so
+    the final merge sees ≤salt rows per zone. ``recompress_px`` additionally
+    re-sketches each pre-merged array to that many points (the scale path
+    for continuous rasters whose value domain has no duplicates to collapse
+    — kernel.sketch_weighted keeps count/min/max exact, quantile rank error
+    ≤ n/recompress_px).
     """
-    schema = _holistic_schema(pctiles, want_vc)
+    schema = _merged_schema(pctiles, want_vc)
     qs = [K.get_percentile(p) for p in pctiles]
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = _merge_vc_arrays(pdf)
-        vals = np.asarray(merged["vc_vals"].iloc[0], dtype=np.float64)
-        cnts = np.asarray(merged["vc_cnts"].iloc[0], dtype=np.int64)
-        row: dict = {"zone_id": [pdf["zone_id"].iloc[0]]}
+        row: dict = {"zone_id": [int(pdf["zone_id"].iloc[0])]}
+        for k, v in _merge_scalars(pdf).items():
+            row[k] = [v]
+        vals, cnts = _merge_vc(pdf)
         if vals.size == 0:
-            for name in ("median", "majority", "minority"):
+            for name in ("median", "majority", "minority", "unique"):
                 row[name] = [None]
-            row["unique"] = [None]
             for p in pctiles:
                 row[p] = [None]
             if want_vc:
                 row["value_counts"] = [None]
-            return pd.DataFrame(row)
-        row["median"] = [K.weighted_percentile(vals, cnts, 50.0)]
-        row["majority"] = [float(vals[int(np.argmax(cnts))])]
-        row["minority"] = [float(vals[int(np.argmin(cnts))])]
-        row["unique"] = [int(vals.size)]
-        for p, q in zip(pctiles, qs):
-            row[p] = [K.weighted_percentile(vals, cnts, q)]
-        if want_vc:
-            row["value_counts"] = [dict(zip(vals.tolist(), cnts.tolist()))]
+        else:
+            row["median"] = [K.weighted_percentile(vals, cnts, 50.0)]
+            row["majority"] = [float(vals[int(np.argmax(cnts))])]
+            row["minority"] = [float(vals[int(np.argmin(cnts))])]
+            row["unique"] = [int(vals.size)]
+            for p, q in zip(pctiles, qs):
+                row[p] = [K.weighted_percentile(vals, cnts, q)]
+            if want_vc:
+                row["value_counts"] = [dict(zip(vals.tolist(), cnts.tolist()))]
         return pd.DataFrame(row)
 
-    vc = partials.select("zone_id", "vc_vals", "vc_cnts")
     if salt:
-        pre = (
-            vc.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
+
+        def pre(pdf: pd.DataFrame) -> pd.DataFrame:
+            row: dict = {"zone_id": [int(pdf["zone_id"].iloc[0])]}
+            for k, v in _merge_scalars(pdf).items():
+                row[k] = [v]
+            vals, cnts = _merge_vc(pdf)
+            if recompress_px:
+                vals, cnts = K.sketch_weighted(vals, cnts, recompress_px)
+            row["vc_vals"] = [vals.tolist()]
+            row["vc_cnts"] = [cnts.tolist()]
+            return pd.DataFrame(row)
+
+        partials = (
+            partials.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
             .groupBy("zone_id", "_salt")
             .applyInPandas(
-                lambda pdf: _merge_vc_arrays(pdf.drop(columns=["_salt"])),
-                _VC_SCHEMA,
+                lambda pdf: pre(pdf.drop(columns=["_salt"])), _partial_schema(False)
             )
         )
-        vc = pre
-    return vc.groupBy("zone_id").applyInPandas(finalize, schema)
+    return partials.groupBy("zone_id").applyInPandas(finalize, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +510,8 @@ def zonal_stats_df(
     broadcast_zones: bool = True,
     max_cells_per_zone: int = 4_000_000,
     holistic_salt: int | None = None,
+    holistic_mode: str = "exact",
+    sketch_px: int = 1024,
     meta: dict | None = None,
     band: int = 1,
 ) -> DataFrame:
@@ -486,6 +533,22 @@ def zonal_stats_df(
     want_holistic = run_count or "median" in stats or bool(pctiles)
     want_vc = bool(categorical)
     need_missing = boundless and ("nodata" in stats or "nan" in stats)
+    # sketch eligibility: majority/minority/unique/value_counts need the
+    # EXACT value domain; median/percentiles alone can run on the bounded
+    # quantile summary (the 100×-scale path for continuous float rasters)
+    want_exact_domain = run_count or want_vc
+    if holistic_mode not in ("exact", "auto", "sketch"):
+        raise ValueError("holistic_mode must be 'exact', 'auto' or 'sketch'")
+    if holistic_mode == "sketch" and want_exact_domain:
+        raise ValueError(
+            "holistic_mode='sketch' cannot compute majority/minority/unique/"
+            "value_counts — those stats need the exact value domain"
+        )
+    use_sketch = (
+        want_holistic
+        and not want_exact_domain
+        and holistic_mode in ("auto", "sketch")
+    )
 
     meta = meta if meta is not None else collect_dataset_meta(datasets)
     if dataset is not None:
@@ -539,6 +602,14 @@ def zonal_stats_df(
         left = F.broadcast(cells) if broadcast_zones else cells
         joined = left.join(tile_side, keys, "inner")
 
+    refd = [dataset] if dataset is not None else list(meta)
+    # compact only when values are guaranteed float32-representable: raw
+    # float32 pixels, no user transform (zone_func output is float64)
+    compact = (
+        (want_holistic or want_vc)
+        and zone_func is None
+        and all(meta[d].get("dtype") == "float32" for d in refd)
+    )
     partials = partial_kernel(
         joined,
         meta,
@@ -547,27 +618,42 @@ def zonal_stats_df(
         want_counts=want_holistic or want_vc,
         zone_func=zone_func,
         band=band,
-    )
-
-    scalars = partials.groupBy("zone_id").agg(
-        F.sum("count").alias("count"),
-        F.sum("sum").alias("sum"),
-        F.sum("sum_i").alias("sum_i"),
-        F.sum("sumsq").alias("sumsq"),
-        F.min("min").alias("min"),
-        F.max("max").alias("max"),
-        F.sum("nodata_count").alias("nodata_count"),
-        F.sum("nan_count").alias("nan_count"),
+        sketch_px=sketch_px if use_sketch else None,
+        compact_vc=compact,
     )
 
     # join-back (J2): per-zone aggregates are ≤1 row/zone — same cardinality
     # class as the broadcastable zone side, so broadcast them and keep the
     # whole plan SMJ-free in the broadcast regime
     _bc = F.broadcast if broadcast_zones else (lambda d: d)
-    result = zones.select("zone_id").join(_bc(scalars), "zone_id", "left")
     if want_holistic or want_vc:
-        hol = holistic_merge(partials, pctiles, want_vc, salt=holistic_salt)
-        result = result.join(_bc(hol), "zone_id", "left")
+        # ONE zone-keyed merge for scalars + holistics: the partial kernel
+        # (decode + rasterize) is evaluated exactly once, not once per
+        # consuming aggregation
+        salt = holistic_salt
+        recompress = None
+        if use_sketch:
+            # pre-merge is mandatory in sketch mode: it re-sketches each
+            # (zone, salt) group so the final merge sees ≤ salt×8×sketch_px
+            # points per zone whatever the corpus size
+            salt = salt or 16
+            recompress = sketch_px * 8
+        merged = merged_stats(
+            partials, pctiles, want_vc, salt=salt, recompress_px=recompress
+        )
+        result = zones.select("zone_id").join(_bc(merged), "zone_id", "left")
+    else:
+        scalars = partials.groupBy("zone_id").agg(
+            F.sum("count").alias("count"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sumsq").alias("sumsq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("nodata_count").alias("nodata_count"),
+            F.sum("nan_count").alias("nan_count"),
+        )
+        result = zones.select("zone_id").join(_bc(scalars), "zone_id", "left")
 
     cnt = F.coalesce(F.col("count"), F.lit(0))
     nonempty = cnt > 0
