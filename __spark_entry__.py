@@ -279,6 +279,74 @@ def q_zonal_gather_addstats(spark, sf_dir):
     )
 
 
+def q_zonal_zone_func(spark, sf_dir):
+    """A19 elementwise zone_func gate: a tiling-commutative transform
+    (x + 2) through the partial path; SQL-expressible as value + 2 cast
+    back to float32 (the masked array keeps the raster's native dtype)."""
+    out = _zonal(
+        spark, "polygons", "slope",
+        stats=["count", "min", "max", "mean"],
+        zone_func=lambda m: m + 2.0,
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def q_zonal_raster_out(spark, sf_dir):
+    """A20 raster_out gate: gather-tier mini-rasters digested to payload
+    md5s + window affine; oracle = committed prepare_zone goldens
+    (independent single-array path, fixtures.write_oracles)."""
+    from python_rasterstats_spark.operators.gather import zonal_gather_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    out = zonal_gather_df(
+        zones.filter(F.col("collection") == "polygons"), tiles, datasets,
+        dataset="slope", stats=["count"], raster_out=True,
+    )
+    mr = F.col("mini_raster")
+    cols = [
+        F.col("zone_id"),
+        F.md5(mr["data"]).alias("data_md5"),
+        F.md5(mr["mask"]).alias("mask_md5"),
+    ]
+    for i, c in enumerate("abcdef"):
+        cols.append(F.round(F.element_at(mr["affine"], i + 1), 6).alias(f"aff_{c}"))
+    cols.append(mr["nodata"].alias("nodata"))
+    return out.select(*cols)
+
+
+def q_zonal_api_surface(spark, sf_dir):
+    """A16 category_map + A21 prefix through the full rasterstats-parity
+    API (gen_zonal_stats -> dicts), re-tabularized as (zone_id, key, val):
+    remapped categorical keys get the prefix, unmapped float keys pass
+    through stringified — reference utils.py:106-114 + main.py:335-337."""
+    from python_rasterstats_spark import api
+    from python_rasterstats_spark import geom as G
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    feats = [
+        {"type": "Feature", "properties": {},
+         "geometry": G.wkb_loads(bytes(r["geometry_wkb"]))}
+        for r in zones.filter(F.col("collection") == "polygons")
+                      .orderBy("zone_id").collect()
+    ]
+    raster = api.TileRaster(tiles, datasets, "slope_classes")
+    res = api.zonal_stats(
+        feats, raster, stats=["count"], categorical=True,
+        category_map={1.0: "low"}, prefix="zs_", spark=spark,
+    )
+    rows = []
+    for zid, d in enumerate(res):
+        for k, v in d.items():
+            rows.append((zid, str(k), int(v)))
+    return spark.createDataFrame(rows, "zone_id long, key string, val long")
+
+
 def q_event_sessions(spark, sf_dir):
     from python_rasterstats_spark.streaming.sessions import sessionize
 
@@ -366,6 +434,27 @@ def q_emb_neardup(spark, sf_dir):
     )
 
 
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: multiband hyperplane LSH bucket
+    join + exact cosine rescore. Oracle = the same brute-force SQL as
+    emb_neardup — valid because recall is 1.0 at (bands=32, rplanes=3) on
+    this corpus (asserted in tests) and the rescore is exact."""
+    from python_rasterstats_spark.functions.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        _emb(spark, sf_dir), threshold=0.35, query_max_id=50
+    )
+
+
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-ball pairs via bit-band buckets: radius < bands ⇒
+    pigeonhole guarantees the EXACT brute-force result set, so the oracle
+    recomputes all-pairs Hamming from the committed simhash parquet."""
+    from python_rasterstats_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), bands=8, radius=3)
+
+
 def q_doc_minhash_lsh(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import minhash_lsh_candidates
 
@@ -414,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "zonal_band2": q_zonal_band2,
         "zonal_hd_sketch": q_zonal_hd_sketch,
+        "zonal_zone_func": q_zonal_zone_func,
+        "zonal_raster_out": q_zonal_raster_out,
+        "zonal_api_surface": q_zonal_api_surface,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -425,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         # hash-family ops: DuckDB has no xxhash64 twin, so their oracles
         # SELECT committed expected-output parquet generated by an
         # independent pure-Python reimplementation (tools/oracle_hashes.py,
@@ -663,6 +757,35 @@ SELECT zone_id,
 FROM j GROUP BY zone_id
 """
 
+    sql["zonal_zone_func"] = _valid_join("'polygons_slope_default'") + """
+, t AS (SELECT zone_id, CAST(CAST(value + 2 AS REAL) AS DOUBLE) AS tv
+        FROM j WHERE NOT bad_nodata AND NOT bad_nan)
+SELECT zone_id,
+       count(*) AS cnt,
+       round(min(tv), 6) AS min_r,
+       round(max(tv), 6) AS max_r,
+       round(avg(tv), 6) AS mean_r
+FROM t GROUP BY zone_id
+"""
+
+    sql["zonal_raster_out"] = (
+        f"SELECT zone_id, data_md5, mask_md5, aff_a, aff_b, aff_c, aff_d, "
+        f"aff_e, aff_f, nodata "
+        f"FROM read_parquet('{FIX}/oracle_raster_out.parquet')"
+    )
+
+    sql["zonal_api_surface"] = _valid_join("'polygons_classes_categorical'") + """
+, v AS (SELECT zone_id, value FROM j WHERE NOT bad_nodata AND NOT bad_nan)
+SELECT zone_id,
+       'zs_' || (CASE WHEN value = 1 THEN 'low'
+                      ELSE CAST(value AS VARCHAR) END) AS key,
+       count(*) AS val
+FROM v GROUP BY zone_id, value
+UNION ALL
+SELECT zone_id, 'zs_count' AS key, count(*) AS val
+FROM v GROUP BY zone_id
+"""
+
     # independent session semantics: lag/cumsum chaining (an event exactly
     # `gap` after its predecessor starts a NEW session — matching Spark's
     # half-open session_window)
@@ -782,6 +905,8 @@ c AS (SELECT a.vec_a, b.vec_id AS vec_b, {cos_ab} AS cos
 SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM c WHERE cos >= 0.35
 """
 
+    sql["emb_neardup_lsh"] = sql["emb_neardup"]
+
     sql["ann_cosine_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
@@ -810,6 +935,13 @@ QUALIFY rank <= 5
         f"SELECT image_id, out_w, out_h, payload_md5 FROM "
         f"read_parquet('{hora}/tile_resize.parquet')"
     )
+    sql["doc_simhash_pairs"] = f"""
+WITH t AS (SELECT doc_id, simhash FROM read_parquet('{hora}/doc_simhash.parquet'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
     return sql
 
 

@@ -8,7 +8,13 @@ distributed Spark plans instead of a per-feature Python loop.
 ``raster`` accepts:
 - a 2D numpy array + ``affine`` (reference io.py:268-274 ndarray path),
 - a :class:`TileRaster` handle pointing at a corpus (tiles/datasets tables),
-GDAL file paths are rejected (no GDAL in this engine — use a corpus).
+- a file path IF the optional ``rasterio`` package is installed.
+
+NOTE — parity surface, not the scale API: these generators ``collect()``
+per-zone results to reproduce the reference's list-of-dicts contract
+exactly. Pipelines that keep results distributed should call the
+DataFrame operators directly (operators.zonal.zonal_stats_df,
+operators.point.point_query_df), which stay lazy end-to-end.
 """
 
 from __future__ import annotations
@@ -48,10 +54,37 @@ def _affine_tuple(affine):
 
 
 def _resolve_raster(spark, raster, affine, nodata, band, tile=256):
+    import os
+
     from .sources.tables import raster_to_tables
 
     if isinstance(raster, TileRaster):
         return raster.tiles, raster.datasets, raster.dataset
+    if isinstance(raster, (str, os.PathLike)):
+        # GDAL raster paths behind a soft rasterio import (reference
+        # io.py:276-285); the zero-GDAL core otherwise raises helpfully
+        try:
+            import rasterio
+        except ImportError as exc:
+            raise ValueError(
+                "reading raster files requires the optional 'rasterio' "
+                "package, which is not installed; pass a numpy array + "
+                "affine or a TileRaster corpus handle instead"
+            ) from exc
+        with rasterio.open(raster) as src:
+            arr = src.read(band)
+            src_nodata = src.nodata
+            aff = tuple(src.transform)[:6]
+        eff_nodata = nodata if nodata is not None else src_nodata
+        if eff_nodata is None:
+            warnings.warn(
+                "Setting nodata to -999; specify nodata explicitly",
+                NodataWarning,
+            )
+        tiles, datasets = raster_to_tables(
+            spark, arr, aff, nodata=eff_nodata, tile=tile, dataset="file"
+        )
+        return tiles, datasets, "file"
     if isinstance(raster, np.ndarray):
         if affine is None:
             raise ValueError("Specify affine transform for numpy arrays")

@@ -733,6 +733,43 @@ def write_oracles(outdir: str, arrays=None, zones=None) -> dict:
              ("interpolate", pa.string()), ("value", pa.float64())]
         ),
     )
+
+    # mini-raster goldens (A20, reference main.py:318-328): prepare_zone on
+    # the full in-memory array — an execution path independent of the
+    # gather operator's tile mosaic — digested for the raster_out gate
+    import hashlib
+
+    ro = {k: [] for k in ("zone_id", "data_md5", "mask_md5",
+                          "aff_a", "aff_b", "aff_c", "aff_d", "aff_e",
+                          "aff_f", "nodata")}
+    s_arr, s_aff, s_nd, _ = arrays["slope"]
+    for z in by_coll["polygons"]:
+        block, rv, win, fill = K.prepare_zone(z["geom"], s_arr, s_aff,
+                                              nodata=s_nd)
+        isnan = np.isnan(block)
+        masked = np.ma.MaskedArray(
+            block, mask=((block == fill) | isnan | ~rv)
+        )
+        data = np.ma.filled(masked, fill).astype(np.float32)
+        mask = np.ma.getmaskarray(masked)
+        taff = K.window_affine(win, s_aff)
+        ro["zone_id"].append(z["zone_id"])
+        ro["data_md5"].append(hashlib.md5(C.encode_tile(data, "npy")).hexdigest())
+        ro["mask_md5"].append(hashlib.md5(C.encode_tile(mask, "npy")).hexdigest())
+        for name, v in zip(("aff_a", "aff_b", "aff_c", "aff_d", "aff_e",
+                            "aff_f"), taff):
+            ro[name].append(round(float(v), 6))
+        ro["nodata"].append(float(fill))
+    _write(
+        os.path.join(outdir, "oracle_raster_out.parquet"),
+        ro,
+        pa.schema(
+            [("zone_id", pa.int64()), ("data_md5", pa.string()),
+             ("mask_md5", pa.string())]
+            + [(f"aff_{c}", pa.float64()) for c in "abcdef"]
+            + [("nodata", pa.float64())]
+        ),
+    )
     return {r["query"]: r for r in golden_rows}
 
 

@@ -129,6 +129,35 @@ def lsh_buckets(
     )
 
 
+def lsh_bits(vec_col, nplanes: int):
+    """Bit array of ``nplanes`` random-hyperplane signs as ONE JVM
+    expression: bit i = sign(v · plane_i), plane_i[d] = ±1 from
+    xxhash64(i, d). Evaluating all planes inside a single ``transform``
+    keeps Catalyst from re-expanding the per-plane fold once per consumer
+    (the multiband near-dup explodes bands from this array)."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dims = F.size(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nplanes - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                F.zip_with(
+                    col,
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda v, d: v.cast("double")
+                    * F.when(
+                        F.xxhash64(i, d).bitwiseAND(F.lit(1)) == 1, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def lsh_ann(
     emb: DataFrame,
     *,

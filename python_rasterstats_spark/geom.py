@@ -438,11 +438,22 @@ def read_features(obj, layer: int = 0):
 
     Supported inputs: GeoJSON string (Feature / FeatureCollection / geometry),
     WKT string, WKB bytes/hex, mapping, ``__geo_interface__`` object, or any
-    iterable of those. OGR/fiona file paths are not supported in this engine
-    (no GDAL); pass parquet zone tables to the Spark API instead.
+    iterable of those. Vector FILE paths (shapefile/GeoJSON file/GPKG —
+    reference io.py:94-109) are read through the optional ``fiona`` package
+    when it is installed; the zero-GDAL core otherwise raises with a
+    pointer at the parquet zone-table path.
     """
     features_iter = None
     if isinstance(obj, str):
+        import os as _os
+
+        looks_like_path = (
+            "\n" not in obj
+            and not obj.lstrip().startswith(("{", "["))
+            and _os.path.exists(obj)
+        )
+        if looks_like_path:
+            return _fiona_features(obj, layer)
         try:
             mapping = json.loads(obj)
         except (ValueError, json.JSONDecodeError):
@@ -471,6 +482,21 @@ def read_features(obj, layer: int = 0):
     if features_iter is None:
         raise ValueError("Object is not a recognized source of Features")
     return features_iter
+
+
+def _fiona_features(path: str, layer: int = 0):
+    """Vector-file ingestion behind a soft fiona import (reference
+    io.py:36-45 fiona_generator / io.py:94-109 path branch)."""
+    try:
+        import fiona
+    except ImportError as exc:
+        raise ValueError(
+            "reading vector files requires the optional 'fiona' package, "
+            "which is not installed; pass WKT/WKB/GeoJSON/__geo_interface__ "
+            "features or parquet zone tables instead"
+        ) from exc
+    with fiona.open(path, "r", layer=layer) as src:
+        return [parse_feature(dict(f)) for f in src]
 
 
 def read_featurecollection(obj, layer: int = 0) -> dict:

@@ -510,6 +510,11 @@ def partial_stats(
             uvals, ucnts = np.unique(vals, return_counts=True)
             out["vc_vals"] = uvals.astype(np.float64, copy=False)
             out["vc_cnts"] = ucnts.astype(np.int64)
+            # all-distinct block (continuous data): the counts are all 1s —
+            # callers that understand the convention (merged_stats) read an
+            # EMPTY counts array as "one each", saving a third of the
+            # holistic shuffle bytes
+            out["vc_ones"] = bool(ucnts.size and ucnts[-1] == 1 and ucnts.max() == 1)
     else:
         out["vc_vals"] = np.empty(0, dtype=np.float64)
         out["vc_cnts"] = np.empty(0, dtype=np.int64)

@@ -219,6 +219,9 @@ def _partial_schema(compact_vc: bool = False) -> T.StructType:
 _PARTIAL_SCHEMA = _partial_schema(False)
 
 
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+
+
 def _cell_block(m, tile_row, tile_col, decoded, region, fill):
     """Pixel block for ``region`` (global window) inside one cell's nominal
     extent; pixels without stored data become nodata fill (J4 boundless).
@@ -349,7 +352,10 @@ def partial_kernel(
                 rows["nodata_count"].append(p["nodata_count"])
                 rows["nan_count"].append(p["nan_count"])
                 rows["vc_vals"].append(p["vc_vals"].astype(vdt, copy=False))
-                rows["vc_cnts"].append(p["vc_cnts"].astype(cdt, copy=False))
+                if compact_vc and p.get("vc_ones"):
+                    rows["vc_cnts"].append(_EMPTY_I32)
+                else:
+                    rows["vc_cnts"].append(p["vc_cnts"].astype(cdt, copy=False))
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
@@ -387,12 +393,19 @@ def _merged_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
 
 def _merge_vc(pdf: pd.DataFrame):
     """Merge per-partial (value, count) arrays: concat → unique → scatter-add.
-    Associative, so it works as both the salted pre-merge and the final."""
+    Associative, so it works as both the salted pre-merge and the final.
+    An EMPTY counts array next to a non-empty values array means "one each"
+    (the compact all-distinct convention from the partial kernel)."""
     vals = np.concatenate(
         [np.asarray(v, dtype=np.float64) for v in pdf["vc_vals"]] or [np.empty(0)]
     )
     cnts = np.concatenate(
-        [np.asarray(c, dtype=np.int64) for c in pdf["vc_cnts"]]
+        [
+            np.asarray(c, dtype=np.int64)
+            if len(c) or not len(v)
+            else np.ones(len(v), dtype=np.int64)
+            for v, c in zip(pdf["vc_vals"], pdf["vc_cnts"])
+        ]
         or [np.empty(0, dtype=np.int64)]
     )
     u, inv = np.unique(vals, return_inverse=True)

@@ -74,12 +74,18 @@ def incremental_zonal(
     all_touched: bool = False,
     nodata: float | None = None,
     availableNow: bool = True,
+    state_buckets: int = 16,
 ):
     """Start (or catch up) the incremental pipeline.
 
     Tiles parquet files dropped into ``stream_dir`` are consumed exactly
     once (checkpointed offsets); per-zone partial state accumulates in
-    ``state_dir``. Returns the streaming query (awaitTermination for
+    ``state_dir`` PARTITIONED by zone-id bucket (pmod(zone_id,
+    state_buckets)). Each micro-batch reads and rewrites ONLY the buckets
+    its zones touch (dynamic partition overwrite) — per-batch state IO is
+    bounded by the touched working set, not O(total state). This is the
+    parquet shape of an Iceberg MERGE INTO keyed on the bucket partition
+    transform. Returns the streaming query (awaitTermination for
     availableNow batch-catch-up semantics)."""
     meta = collect_dataset_meta(datasets)
     cells = zone_cover_cells(zones, meta, clip_to_grid=True)
@@ -107,15 +113,39 @@ def incremental_zonal(
         )
         sp = batch_df.sparkSession
         state_path = os.path.join(state_dir, "partials")
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-            old = sp.read.parquet(state_path)
-            merged = _merge_partial_tables(old.unionByName(new_partials))
+        bucket = F.pmod(F.col("zone_id"), F.lit(state_buckets))
+        new_partials = new_partials.withColumn("bucket", bucket)
+        touched = [
+            r["bucket"]
+            for r in new_partials.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        have_state = os.path.exists(state_path) and any(
+            e.startswith("bucket=") for e in os.listdir(state_path)
+        )
+        if have_state:
+            # partition pruning: only the touched buckets are read
+            old = sp.read.parquet(state_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            both = old.unionByName(new_partials)
         else:
-            merged = _merge_partial_tables(new_partials)
+            both = new_partials
+        merged = _merge_partial_tables(both.drop("bucket")).withColumn(
+            "bucket", bucket
+        )
+        # tmp roundtrip: cannot lazily overwrite files being read; the
+        # roundtrip volume is the touched buckets only, not O(state)
         tmp = state_path + f".batch{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        final = sp.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(state_path)
+        (
+            sp.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(state_path)
+        )
 
     writer = stream.writeStream.foreachBatch(fold_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -136,7 +166,7 @@ def current_stats(
     from .. import kernel as K
 
     state_path = os.path.join(state_dir, "partials")
-    partials = spark.read.parquet(state_path)
+    partials = spark.read.parquet(state_path).drop("bucket")
 
     fields = [T.StructField("zone_id", T.LongType())]
     for s in stats:

@@ -127,3 +127,39 @@ def test_exact_dups_finds_planted(spark, docs):
     dups = out.filter(F.col("dup_count") > 1).collect()
     assert len(dups) == 2
     assert {r["keeper_id"] for r in dups} == {two.collect()[0]["doc_id"]}
+
+
+def test_embedding_neardup_lsh_recall_and_precision(spark, emb):
+    """The gated LSH near-dup path returns EXACTLY the brute-force pair set
+    on the fixture corpus (recall 1.0 at bands=32 × rplanes=3; precision
+    1.0 from the exact cosine rescore)."""
+    from python_rasterstats_spark.functions.dedup import (
+        embedding_neardup, embedding_neardup_lsh,
+    )
+
+    bf = {(r["vec_a"], r["vec_b"], r["cos_r"]) for r in
+          embedding_neardup(emb, threshold=0.35, query_max_id=50).collect()}
+    ls = {(r["vec_a"], r["vec_b"], r["cos_r"]) for r in
+          embedding_neardup_lsh(emb, threshold=0.35, query_max_id=50).collect()}
+    assert bf and ls == bf
+
+
+def test_simhash_pairs_pigeonhole_exact(spark, docs):
+    """radius < bands ⇒ band-bucket candidates cover the whole Hamming
+    ball: simhash_pairs equals brute-force all-pairs Hamming filtering."""
+    from pyspark.sql import functions as F
+
+    from python_rasterstats_spark.functions.dedup import simhash, simhash_pairs
+
+    docs = docs.limit(200)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+           simhash_pairs(docs, bands=8, radius=3).collect()}
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+             .filter(F.col("hamming") <= 3).collect()}
+    assert got == want

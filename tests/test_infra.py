@@ -216,3 +216,56 @@ def test_boundless_nodata_plan_no_tile_shuffle(corpus):
     # the matrix tests; here a quick structural check)
     rows = {r["zone_id"]: r.asDict() for r in df.collect()}
     assert rows and all(r["nodata"] is not None for r in rows.values())
+
+
+def test_incremental_state_rewrites_only_touched_buckets(spark, fixture_dir, tmp_path):
+    """VERDICT r1 'Next round #10': per-batch state IO is bounded — a batch
+    whose zones map to one bucket must leave every other bucket partition's
+    files untouched on disk (the parquet shape of an Iceberg MERGE)."""
+    from python_rasterstats_spark.sources.tables import load_corpus
+    from python_rasterstats_spark.streaming.incremental import incremental_zonal
+
+    tiles, zones, datasets = load_corpus(spark, fixture_dir)
+    # zone 0 -> bucket 0, zone 1 -> bucket 1 (state_buckets=2)
+    zones = zones.filter(F.col("collection") == "polygons").withColumn(
+        "dataset", F.lit("slope")
+    )
+    slope_tiles = tiles.filter(F.col("dataset") == "slope").cache()
+    # zone 0 window: pixel cols 9..25 -> tile_col 0 only;
+    # zone 1 window: pixel cols 39..50 -> tile_col 1 only (TILE=32)
+    z1_cols = [1]
+
+    stream_dir = str(tmp_path / "stream")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(stream_dir)
+
+    slope_tiles.write.mode("append").parquet(stream_dir)
+    q = incremental_zonal(
+        spark, zones, datasets, stream_dir, state_dir,
+        str(tmp_path / "ck1"), state_buckets=2,
+    )
+    q.awaitTermination(120)
+    state_path = os.path.join(state_dir, "partials")
+    assert sorted(e for e in os.listdir(state_path) if e.startswith("bucket=")) == [
+        "bucket=0", "bucket=1"
+    ]
+
+    def files_sig(b):
+        d = os.path.join(state_path, f"bucket={b}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    sig0, sig1 = files_sig(0), files_sig(1)
+    # second wave touches ONLY zone 1 (tiles of its window)
+    slope_tiles.filter(F.col("tile_col").isin(z1_cols)).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    q = incremental_zonal(
+        spark, zones, datasets, stream_dir, state_dir,
+        str(tmp_path / "ck1"), state_buckets=2,
+    )
+    q.awaitTermination(120)
+    assert files_sig(0) == sig0          # untouched bucket: same files
+    assert files_sig(1) != sig1          # touched bucket rewritten
