@@ -405,6 +405,24 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_subword_stats(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import subword_stats
+
+    out = subword_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("subword_cnt").cast("long").alias("subword_cnt"),
+        F.col("uniq_subword_cnt").cast("long").alias("uniq_subword_cnt"),
+        F.col("punct_cnt").cast("long").alias("punct_cnt"),
+    )
+
+
+def q_doc_winnow(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
 def q_doc_ngram_jaccard(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -513,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_subword_stats": q_doc_subword_stats,
+        "doc_winnow": q_doc_winnow,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -857,6 +877,29 @@ FROM t
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
 FROM documents
+"""
+
+    sql["doc_subword_stats"] = r"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') ps
+           FROM documents)
+SELECT doc_id, len(ps) AS subword_cnt,
+       len(list_distinct(ps)) AS uniq_subword_cnt,
+       len(list_filter(ps, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS punct_cnt
+FROM t
+"""
+
+    sql["doc_winnow"] = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') toks FROM documents),
+f AS (SELECT doc_id,
+             list_transform(range(1, len(toks) - 5 + 2),
+                            i -> md5(array_to_string(toks[i:i+4], ' '))) AS hs
+      FROM t WHERE len(toks) >= 8),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                                          i -> list_min(hs[i:i+3]))) AS fps
+      FROM f)
+SELECT doc_id, unnest(fps) AS fp FROM m
 """
 
     sql["doc_ngram_jaccard"] = """

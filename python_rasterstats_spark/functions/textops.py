@@ -75,3 +75,47 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"),
     )
+
+
+# GPT-2-style pre-tokenization, simplified to the regex subset that Java
+# (Spark) and RE2 (DuckDB) evaluate identically: letter runs, digit runs,
+# single other-symbols
+SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: regex pre-tokenization into letter runs /
+    digit runs / punctuation symbols (the shape of a GPT-2 pre-tokenizer),
+    still pure JVM (regexp_extract_all in codegen)."""
+    pieces = F.regexp_extract_all("text", F.lit(SUBWORD_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("subword_cnt"),
+        F.size(F.array_distinct(pieces)).alias("uniq_subword_cnt"),
+        F.size(F.filter(pieces, lambda x: x.rlike("^[^A-Za-z0-9]$"))).alias(
+            "punct_cnt"
+        ),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token gram, slide a w-window over the hash
+    sequence, keep each window's minimum — a position-robust fingerprint
+    set whose size is ~2/(w+1) of the grams. Hashes are md5 hex strings so
+    the lexicographic window-min is engine-portable (DuckDB twin in
+    oracle_sql). One row per (doc_id, fp)."""
+    toks = _toks()
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(kgrams, F.md5)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(hashes) - w),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    return (
+        docs.filter(F.size(toks) >= k + w - 1)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
