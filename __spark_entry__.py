@@ -363,6 +363,39 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_event_windows(spark, sf_dir):
+    """§2.7 tumbling-window aggregation (batch twin of the streaming
+    window operator): per-user hourly event counts + value sums."""
+    from python_rasterstats_spark.streaming.sessions import tumbling_counts
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tumbling_counts(events, width="1 hour")
+    return out.select(
+        "user_id",
+        F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
+        "n_events", "sum_value",
+    )
+
+
+def q_zonal_topk(spark, sf_dir):
+    """§2.5 window/sort/limit over engine output: top-5 overlap-edge zones
+    by mean (row_number window, ties by zone_id)."""
+    from pyspark.sql import Window
+
+    out = _zonal(
+        spark, ["polygons_partial_overlap"], "slope", stats=["count", "mean"]
+    )
+    w = Window.orderBy(F.col("mean").desc(), F.col("zone_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "zone_id", F.col("rank").cast("long").alias("rank"),
+            F.col("count").alias("cnt"), F.round("mean", 6).alias("mean_r"),
+        )
+    )
+
+
 def q_doc_dedup_exact(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import exact_dups
 
@@ -526,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_api_surface": q_zonal_api_surface,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
+        "event_windows": q_event_windows,
+        "zonal_topk": q_zonal_topk,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -830,6 +865,28 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM y GROUP BY user_id, sid
+"""
+
+    sql["event_windows"] = """
+SELECT user_id,
+       CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS w_start_s,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["zonal_topk"] = _valid_join("'partial_overlap_slope'") + """
+, st AS (
+  SELECT zone_id,
+         count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+         round(avg(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS mean_r,
+         avg(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS mean_full
+  FROM j GROUP BY zone_id)
+SELECT zone_id,
+       row_number() OVER (ORDER BY mean_full DESC, zone_id) AS rank,
+       cnt, mean_r
+FROM st
+QUALIFY rank <= 5
 """
 
     sql["doc_dedup_exact"] = """

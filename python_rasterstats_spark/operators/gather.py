@@ -88,14 +88,27 @@ def zonal_gather_df(
         zcols, meta, clip_to_grid=False, max_cells_per_zone=max_cells_per_zone,
         raise_beyond_extent=not boundless,
     )
-    # zone_cover_cells only carries the join columns; re-attach properties
-    joined = (
-        cells.join(
-            tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
-            ["dataset", "tile_col", "tile_row"],
-            "left",
-        )
-        .join(F.broadcast(zcols.select("zone_id", "properties_json")), "zone_id", "left")
+    # Inner broadcast join (a left join cannot broadcast its left side and
+    # would shuffle the tile table — same plan rule as operators/zonal.py).
+    # Zones whose tiles are ALL absent must still produce a count-0 row
+    # (reference main.py:230-234), and missing cells inside a partly
+    # covered zone need no row at all (the mosaic canvas is pre-filled), so
+    # it suffices to reinstate one NULL-payload stub row per zone that the
+    # inner join dropped entirely.
+    keys = ["dataset", "tile_col", "tile_row"]
+    tile_side = tiles.select(*keys, "bytes", "fmt")
+    present = F.broadcast(cells).join(tile_side, keys, "inner")
+    present_zones = F.broadcast(cells.select("zone_id", *keys)).join(
+        tiles.select(*keys), keys, "inner"
+    ).select("zone_id")
+    stubs = (
+        cells.join(F.broadcast(present_zones), "zone_id", "left_anti")
+        .dropDuplicates(["zone_id"])
+        .withColumn("bytes", F.lit(None).cast("binary"))
+        .withColumn("fmt", F.lit(None).cast("string"))
+    )
+    joined = present.unionByName(stubs).join(
+        F.broadcast(zcols.select("zone_id", "properties_json")), "zone_id", "left"
     )
 
     schema = _result_schema(stats, categorical, add_stats, raster_out)

@@ -29,6 +29,25 @@ def sessionize(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def tumbling_counts(
+    events: DataFrame, *, width: str = "1 hour"
+) -> DataFrame:
+    """Per-user tumbling-window event aggregation — the built-in
+    ``F.window`` (identical semantics in batch and Structured Streaming
+    with a watermark). One row per (user, window-start)."""
+    return (
+        events.groupBy("user_id", F.window("ts", width).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("w_start"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     spark: SparkSession,
     stream_dir: str,

@@ -269,3 +269,28 @@ def test_incremental_state_rewrites_only_touched_buckets(spark, fixture_dir, tmp
     q.awaitTermination(120)
     assert files_sig(0) == sig0          # untouched bucket: same files
     assert files_sig(1) != sig1          # touched bucket rewritten
+
+
+def test_gather_plan_no_tile_shuffle_and_no_tile_zones(corpus):
+    """Gather tier mirrors the zonal plan rule: inner broadcast join + stub
+    reinstatement instead of a tile-shuffling left join; zones with no
+    stored tiles still produce their count-0 row (reference
+    main.py:230-234)."""
+    from python_rasterstats_spark.operators.gather import zonal_gather_df
+    from python_rasterstats_spark.plans.explain import physical_plan, plan_summary
+
+    tiles, zones, datasets = corpus
+    df = zonal_gather_df(
+        zones.filter(
+            F.col("collection").isin("polygons", "polygons_no_overlap")
+        ),
+        tiles, datasets, dataset="slope", stats=["count", "mean"],
+    )
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] == 0, physical_plan(df)[:3000]
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning(dataset" not in plan
+    rows = {r["zone_id"]: r.asDict() for r in df.collect()}
+    assert len(rows) == 11  # 2 polygons + 9 no-overlap
+    zero = [r for r in rows.values() if r["count"] == 0]
+    assert len(zero) == 9 and all(r["mean"] is None for r in zero)
