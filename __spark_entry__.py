@@ -257,6 +257,25 @@ def q_zonal_hd_sketch(spark, sf_dir):
     )
 
 
+def q_zonal_multiband(spark, sf_dir):
+    """One-pass per-band zonal stats (bands=[1,2] over slope_bands: decode
+    once, rasterize once, stats per band; band 2 is exactly 2×slope in
+    float32 so the oracle doubles the slope pixels)."""
+    out = _zonal(
+        spark, "polygons", "slope_bands", bands=[1, 2],
+        stats=["count", "min", "max", "mean", "median"],
+    )
+    return out.select(
+        "zone_id",
+        F.col("band").cast("long").alias("band"),
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+        F.round("median", 6).alias("median_r"),
+    )
+
+
 def q_zonal_gather_addstats(spark, sf_dir):
     """Gather-tier path (per-zone mosaic) with a user add_stats fn whose
     semantics are SQL-expressible (mean of the masked zone)."""
@@ -557,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_zone_func": q_zonal_zone_func,
         "zonal_raster_out": q_zonal_raster_out,
         "zonal_api_surface": q_zonal_api_surface,
+        "zonal_multiband": q_zonal_multiband,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
@@ -803,6 +823,19 @@ SELECT zone_id,
        round(quantile_cont(value, 0.25) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p25_r0,
        round(quantile_cont(value, 0.90) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p90_r0
 FROM j GROUP BY zone_id
+"""
+
+    sql["zonal_multiband"] = _valid_join("'polygons_slope_default'") + """
+, v AS (SELECT zone_id, value FROM j WHERE NOT bad_nodata AND NOT bad_nan),
+b AS (SELECT zone_id, 1 AS band, value FROM v
+      UNION ALL
+      SELECT zone_id, 2 AS band, value * 2 FROM v)
+SELECT zone_id, CAST(band AS BIGINT) AS band, count(*) AS cnt,
+       round(min(value), 6) AS min_r,
+       round(max(value), 6) AS max_r,
+       round(avg(value), 6) AS mean_r,
+       round(quantile_cont(value, 0.5), 6) AS median_r
+FROM b GROUP BY zone_id, band
 """
 
     sql["zonal_gather_addstats"] = _valid_join("'polygons_slope_default'") + """

@@ -191,7 +191,7 @@ def zone_cover_cells(
 # stage 2 — partial kernel
 # ---------------------------------------------------------------------------
 
-def _partial_schema(compact_vc: bool = False) -> T.StructType:
+def _partial_schema(compact_vc: bool = False, with_band: bool = False) -> T.StructType:
     """Partial-row schema. ``compact_vc`` packs the value-count arrays into
     BINARY blobs (float32-LE values + int32-LE counts, counts empty when
     they are all 1s) — lossless when the raster dtype is float32, half the
@@ -201,8 +201,9 @@ def _partial_schema(compact_vc: bool = False) -> T.StructType:
     vt = T.BinaryType() if compact_vc else T.ArrayType(T.DoubleType())
     ct = T.BinaryType() if compact_vc else T.ArrayType(T.LongType())
     return T.StructType(
-        [
-            T.StructField("zone_id", T.LongType()),
+        ([T.StructField("zone_id", T.LongType())]
+         + ([T.StructField("band", T.IntegerType())] if with_band else []))
+        + [
             T.StructField("count", T.LongType()),
             T.StructField("sum", T.DoubleType()),
             T.StructField("sum_i", T.LongType()),
@@ -255,10 +256,18 @@ def partial_kernel(
     band: int = 1,
     sketch_px: int | None = None,
     compact_vc: bool = False,
+    bands: list | None = None,
 ) -> DataFrame:
     """Per-(zone, tile) refine + partial aggregation (J1 refine phase +
-    P2-P5 masks + A1-A15 partial states)."""
-    schema = _partial_schema(compact_vc)
+    P2-P5 masks + A1-A15 partial states).
+
+    With ``bands`` set, ONE pass emits per-band partial rows: the payload
+    is decoded once and the zone rasterized once per (zone, tile) pair,
+    shared across all requested bands (the multiband-in-one-pass path;
+    mutually exclusive with zone_func)."""
+    if bands is not None and zone_func is not None:
+        raise ValueError("bands and zone_func cannot be combined")
+    schema = _partial_schema(compact_vc, with_band=bands is not None)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict = {}
@@ -303,11 +312,27 @@ def partial_kernel(
                             tile_cache.clear()
                         # native dtype end-to-end; stats accumulate in f64
                         decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
-                        if decoded.ndim == 3:  # band select (S6, io.py:279)
-                            decoded = decoded[band - 1]
+                        if decoded.ndim == 3 and bands is None:
+                            decoded = decoded[band - 1]  # band select (S6)
                         tile_cache[tkey] = decoded
                 nd = nodata_override if nodata_override is not None else m["nodata"]
                 nd = -999.0 if nd is None else nd  # io.py:331-340 default
+                if bands is not None:
+                    # one decode + one rasterize per pair, stats per band
+                    for bno in bands:
+                        db = None
+                        if decoded is not None:
+                            db = decoded[bno - 1] if decoded.ndim == 3 else decoded
+                        block_b = _cell_block(m, tr, tc, db, region, nd)
+                        p = K.partial_stats(block_b, rv, nd, want_counts,
+                                            sketch_px=sketch_px)
+                        if (p["count"] == 0 and p["nodata_count"] == 0
+                                and p["nan_count"] == 0):
+                            continue
+                        rows["zone_id"].append(zid)
+                        rows["band"].append(bno)
+                        _append_partial(rows, p, compact_vc)
+                    continue
                 block = _cell_block(m, tr, tc, decoded, region, nd)
                 if zone_func is not None and block is decoded:
                     block = block.copy()  # user fn may mutate in place
@@ -339,29 +364,33 @@ def partial_kernel(
                 ):
                     continue
                 rows["zone_id"].append(zid)
-                rows["count"].append(p["count"])
-                rows["sum"].append(p["sum"])
-                rows["sum_i"].append(p["sum_i"])
-                rows["sumsq"].append(p["sumsq"])
-                rows["min"].append(p["min"])
-                rows["max"].append(p["max"])
-                rows["nodata_count"].append(p["nodata_count"])
-                rows["nan_count"].append(p["nan_count"])
-                if compact_vc:
-                    rows["vc_vals"].append(
-                        p["vc_vals"].astype(np.float32, copy=False).tobytes()
-                    )
-                    rows["vc_cnts"].append(
-                        b"" if p.get("vc_ones")
-                        else p["vc_cnts"].astype(np.int32, copy=False).tobytes()
-                    )
-                else:
-                    rows["vc_vals"].append(p["vc_vals"])
-                    rows["vc_cnts"].append(p["vc_cnts"])
+                _append_partial(rows, p, compact_vc)
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
     return joined.mapInPandas(gen, schema)
+
+
+def _append_partial(rows: dict, p: dict, compact_vc: bool) -> None:
+    rows["count"].append(p["count"])
+    rows["sum"].append(p["sum"])
+    rows["sum_i"].append(p["sum_i"])
+    rows["sumsq"].append(p["sumsq"])
+    rows["min"].append(p["min"])
+    rows["max"].append(p["max"])
+    rows["nodata_count"].append(p["nodata_count"])
+    rows["nan_count"].append(p["nan_count"])
+    if compact_vc:
+        rows["vc_vals"].append(
+            p["vc_vals"].astype(np.float32, copy=False).tobytes()
+        )
+        rows["vc_cnts"].append(
+            b"" if p.get("vc_ones")
+            else p["vc_cnts"].astype(np.int32, copy=False).tobytes()
+        )
+    else:
+        rows["vc_vals"].append(p["vc_vals"])
+        rows["vc_cnts"].append(p["vc_cnts"])
 
 
 # ---------------------------------------------------------------------------
@@ -369,9 +398,11 @@ def partial_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _merged_schema(pctiles: list[str], want_vc: bool) -> T.StructType:
-    fields = [
-        T.StructField("zone_id", T.LongType()),
+def _merged_schema(pctiles: list[str], want_vc: bool, with_band: bool = False) -> T.StructType:
+    fields = [T.StructField("zone_id", T.LongType())]
+    if with_band:
+        fields.append(T.StructField("band", T.IntegerType()))
+    fields += [
         T.StructField("count", T.LongType()),
         T.StructField("sum", T.DoubleType()),
         T.StructField("sum_i", T.LongType()),
@@ -447,8 +478,11 @@ def merged_stats(
     *,
     salt: int | None = None,
     recompress_px: int | None = None,
+    keys: tuple = ("zone_id",),
 ) -> DataFrame:
     """Scalar AND holistic merges in ONE zone-keyed applyInPandas (A1-A15).
+    ``keys`` extends the grouping (e.g. ("zone_id", "band") for the
+    multiband one-pass path).
 
     One shuffle, and — unlike two separate aggregations consuming the same
     ``partials`` subtree — the upstream partial kernel (decode + rasterize)
@@ -464,11 +498,12 @@ def merged_stats(
     — kernel.sketch_weighted keeps count/min/max exact, quantile rank error
     ≤ n/recompress_px).
     """
-    schema = _merged_schema(pctiles, want_vc)
+    with_band = "band" in keys
+    schema = _merged_schema(pctiles, want_vc, with_band=with_band)
     qs = [K.get_percentile(p) for p in pctiles]
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        row: dict = {"zone_id": [int(pdf["zone_id"].iloc[0])]}
+        row: dict = {k: [pdf[k].iloc[0]] for k in keys}
         for k, v in _merge_scalars(pdf).items():
             row[k] = [v]
         vals, cnts = _merge_vc(pdf)
@@ -493,7 +528,7 @@ def merged_stats(
     if salt:
 
         def pre(pdf: pd.DataFrame) -> pd.DataFrame:
-            row: dict = {"zone_id": [int(pdf["zone_id"].iloc[0])]}
+            row: dict = {k: [pdf[k].iloc[0]] for k in keys}
             for k, v in _merge_scalars(pdf).items():
                 row[k] = [v]
             vals, cnts = _merge_vc(pdf)
@@ -505,17 +540,28 @@ def merged_stats(
 
         partials = (
             partials.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
-            .groupBy("zone_id", "_salt")
+            .groupBy(*keys, "_salt")
             .applyInPandas(
-                lambda pdf: pre(pdf.drop(columns=["_salt"])), _partial_schema(False)
+                lambda pdf: pre(pdf.drop(columns=["_salt"])),
+                _partial_schema(False, with_band=with_band),
             )
         )
-    return partials.groupBy("zone_id").applyInPandas(finalize, schema)
+    return partials.groupBy(*keys).applyInPandas(finalize, schema)
 
 
 # ---------------------------------------------------------------------------
 # the operator
 # ---------------------------------------------------------------------------
+
+
+def _band_base(zones: DataFrame, bands) -> DataFrame:
+    """Join-back base: one row per zone (or per zone × requested band)."""
+    base = zones.select("zone_id")
+    if bands is None:
+        return base
+    spark = zones.sparkSession
+    bdf = spark.createDataFrame([(int(b),) for b in bands], "band int")
+    return base.crossJoin(F.broadcast(bdf))
 
 
 def zonal_stats_df(
@@ -537,6 +583,7 @@ def zonal_stats_df(
     sketch_px: int = 1024,
     meta: dict | None = None,
     band: int = 1,
+    bands: list | None = None,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -550,6 +597,10 @@ def zonal_stats_df(
     hash join so the tile scan is never shuffled — the right plan whenever
     the zone working set fits executor memory. With huge zone sets, pass
     False to fall back to a sort-merge join on the tile key.
+
+    ``bands=[1, 2, ...]`` computes stats for SEVERAL bands in one pass —
+    each payload decoded once, each zone rasterized once per covering tile,
+    output long format with a ``band`` column (one row per zone × band).
     """
     stats, run_count = K.check_stats(stats, categorical)
     pctiles = [s for s in stats if s.startswith("percentile_")]
@@ -580,11 +631,12 @@ def zonal_stats_df(
                 f"dataset {dataset!r} not in datasets table "
                 f"(have: {sorted(meta)})"
             )
-        if band > meta[dataset].get("band_count", 1):
-            raise ValueError(
-                f"band {band} out of range for dataset {dataset!r} "
-                f"(band_count={meta[dataset].get('band_count', 1)})"
-            )
+        for b in (bands if bands is not None else [band]):
+            if b > meta[dataset].get("band_count", 1) or b < 1:
+                raise ValueError(
+                    f"band {b} out of range for dataset {dataset!r} "
+                    f"(band_count={meta[dataset].get('band_count', 1)})"
+                )
         zones = zones.withColumn("dataset", F.lit(dataset))
 
     cells = zone_cover_cells(
@@ -643,7 +695,9 @@ def zonal_stats_df(
         band=band,
         sketch_px=sketch_px if use_sketch else None,
         compact_vc=compact,
+        bands=bands,
     )
+    group_keys = ("zone_id",) if bands is None else ("zone_id", "band")
 
     # join-back (J2): per-zone aggregates are ≤1 row/zone — same cardinality
     # class as the broadcastable zone side, so broadcast them and keep the
@@ -662,11 +716,14 @@ def zonal_stats_df(
             salt = salt or 16
             recompress = sketch_px * 8
         merged = merged_stats(
-            partials, pctiles, want_vc, salt=salt, recompress_px=recompress
+            partials, pctiles, want_vc, salt=salt, recompress_px=recompress,
+            keys=group_keys,
         )
-        result = zones.select("zone_id").join(_bc(merged), "zone_id", "left")
+        result = _band_base(zones, bands).join(
+            _bc(merged), list(group_keys), "left"
+        )
     else:
-        scalars = partials.groupBy("zone_id").agg(
+        scalars = partials.groupBy(*group_keys).agg(
             F.sum("count").alias("count"),
             F.sum("sum").alias("sum"),
             F.sum("sum_i").alias("sum_i"),
@@ -676,7 +733,9 @@ def zonal_stats_df(
             F.sum("nodata_count").alias("nodata_count"),
             F.sum("nan_count").alias("nan_count"),
         )
-        result = zones.select("zone_id").join(_bc(scalars), "zone_id", "left")
+        result = _band_base(zones, bands).join(
+            _bc(scalars), list(group_keys), "left"
+        )
 
     cnt = F.coalesce(F.col("count"), F.lit(0))
     nonempty = cnt > 0
@@ -687,7 +746,7 @@ def zonal_stats_df(
     total = F.coalesce(F.col("sum_i").cast("double"), F.col("sum"))
     mean = total / cnt
     fmean = F.col("sum") / cnt
-    cols = [F.col("zone_id")]
+    cols = [F.col("zone_id")] + ([F.col("band")] if bands is not None else [])
     for s in stats:
         if s == "count":
             cols.append(cnt.alias("count"))

@@ -174,3 +174,40 @@ def test_caption_phash_join_integrity(corpus):
     for r in rows:
         assert r["caption"] == f"tile {r['image_id']} of {r['dataset']}"
         assert r["image_id"] == f"{r['dataset']}/{r['tile_col']}_{r['tile_row']}"
+
+
+def test_multiband_one_pass_matches_per_band(corpus):
+    """bands=[1,2] (single decode+rasterize pass) equals two independent
+    single-band runs, for scalar and holistic stats alike; zone_func is
+    rejected in combination."""
+    import pytest as _pytest
+
+    tiles, zones, datasets = corpus
+    z = zones.filter(F.col("collection") == "polygons")
+    STATS = ["count", "min", "max", "mean", "sum", "median", "percentile_90"]
+    multi = {
+        (r["zone_id"], r["band"]): r.asDict()
+        for r in zonal_stats_df(
+            z, tiles, datasets, dataset="slope_bands", bands=[1, 2],
+            stats=STATS,
+        ).collect()
+    }
+    for b in (1, 2):
+        single = {
+            r["zone_id"]: r.asDict()
+            for r in zonal_stats_df(
+                z, tiles, datasets, dataset="slope_bands", band=b, stats=STATS
+            ).collect()
+        }
+        for zid, want in single.items():
+            got = multi[(zid, b)]
+            for s in STATS:
+                assert got[s] == want[s], (zid, b, s)
+    with _pytest.raises(Exception, match="zone_func"):
+        zonal_stats_df(
+            z, tiles, datasets, dataset="slope_bands", bands=[1, 2],
+            stats=["count"], zone_func=lambda m: m,
+        ).collect()
+    with _pytest.raises(ValueError, match="out of range"):
+        zonal_stats_df(z, tiles, datasets, dataset="slope_bands",
+                       bands=[1, 3], stats=["count"])
