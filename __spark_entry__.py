@@ -421,6 +421,13 @@ def q_doc_dedup_exact(spark, sf_dir):
     return exact_dups(_docs(spark, sf_dir))
 
 
+def q_doc_dedup_keep(spark, sf_dir):
+    from python_rasterstats_spark.functions.dedup import dedup_keep
+
+    out = dedup_keep(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_chars", F.md5("text").alias("text_md5"))
+
+
 def q_doc_token_stats(spark, sf_dir):
     from python_rasterstats_spark.functions.textops import token_stats
 
@@ -582,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "zonal_topk": q_zonal_topk,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_keep": q_doc_dedup_keep,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -927,6 +935,13 @@ SELECT doc_id, md5(text) AS text_hash,
        count(*) OVER (PARTITION BY md5(text)) AS dup_count,
        min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
 FROM documents
+"""
+
+    sql["doc_dedup_keep"] = """
+WITH k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM documents)
+SELECT d.doc_id, d.n_chars, md5(d.text) AS text_md5
+FROM documents d JOIN k ON k.doc_id = d.doc_id AND k.doc_id = k.keeper
 """
 
     sql["doc_token_stats"] = r"""

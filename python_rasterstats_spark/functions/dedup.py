@@ -31,6 +31,14 @@ def exact_dups(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep(docs: DataFrame) -> DataFrame:
+    """End-to-end exact dedup: return the corpus with duplicates dropped
+    (the smallest doc_id of each content-hash group survives). One hash
+    shuffle; the keep decision is local to each hash partition."""
+    keep = exact_dups(docs).filter(F.col("doc_id") == F.col("keeper_id"))
+    return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
 def _shingles(n: int = 3):
     """Distinct n-token shingles of the text column (JVM higher-order fns)."""
     toks = F.split(F.trim(F.col("text")), " ")
