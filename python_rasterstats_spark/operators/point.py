@@ -238,5 +238,7 @@ def point_query_df(
         value = F.when(all_valid, bilinear).otherwise(nearest)
     interped = agg.select("zone_id", "vertex_idx", value.alias("value"))
     # vertices with no tile at all (beyond extent / absent tiles) → NULL,
-    # preserving one output row per vertex (J4 boundless semantics)
-    return vkeys.join(interped, ["zone_id", "vertex_idx"], "left")
+    # preserving one output row per vertex (J4 boundless semantics).
+    # interped is ≤1 row per vertex — same cardinality class as the
+    # broadcastable vertex side, so broadcast it and keep the plan SMJ-free
+    return vkeys.join(F.broadcast(interped), ["zone_id", "vertex_idx"], "left")
