@@ -258,3 +258,36 @@ def test_spark_point_query_fuzz_vs_oracle(spark):
             if not ok:
                 bad.append((interp, i, have, want))
         assert not bad, bad[:5]
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=1, max_size=4000),
+    st.integers(min_value=8, max_value=512),
+)
+@settings(max_examples=60, deadline=None)
+def test_sketch_weighted_properties(values, S):
+    """For ANY multiset and sketch size: total count, min and max are
+    preserved exactly, the output is sorted-unique and ≤S points, and any
+    quantile estimated from the summary lies within the true quantiles at
+    ±2/S rank offset."""
+    import numpy as np
+
+    from python_rasterstats_spark import kernel as K
+
+    vals = np.sort(np.asarray(values, dtype=np.float64))
+    cnts = np.ones(vals.size, dtype=np.int64)
+    u, inv = np.unique(vals, return_inverse=True)
+    m = np.zeros(len(u), dtype=np.int64)
+    np.add.at(m, inv, cnts)
+    su, sm = K.sketch_weighted(u, m, S)
+    assert int(sm.sum()) == vals.size
+    assert su[0] == vals[0] and su[-1] == vals[-1]
+    assert len(su) <= max(S, len(u)) and (np.diff(su) > 0).all()
+    n = vals.size
+    for q in (10.0, 50.0, 90.0):
+        approx = K.weighted_percentile(su, sm, q)
+        dq = 100.0 * 2.0 / S
+        lo = np.percentile(vals, max(q - dq, 0.0))
+        hi = np.percentile(vals, min(q + dq, 100.0))
+        assert lo - 1e-9 <= approx <= hi + 1e-9, (n, S, q)
