@@ -217,6 +217,22 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(tiles, every=4)
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio leg: windowed RMS/peak/zero-crossing features over
+    opaque PCM16 payloads (real codec — raw PCM needs no external library);
+    oracle = committed goldens computed from the raw waveforms."""
+    from python_rasterstats_spark.functions.multimodal import (
+        audio_window_features,
+    )
+
+    audio = spark.read.parquet(os.path.join(FIX, "audio.parquet"))
+    out = audio_window_features(audio, win=1024)
+    return out.select(
+        "clip_id", F.col("win_idx").cast("long").alias("win_idx"),
+        "rms_r", "peak", "zc_cnt",
+    )
+
+
 def q_zonal_band2(spark, sf_dir):
     """Band-selected zonal stats (S6 band parity): band 2 of slope_bands is
     exactly 2×slope in float32, so the oracle doubles the slope pixels."""
@@ -578,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_bilinear": q_point_bilinear,
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "zonal_band2": q_zonal_band2,
         "zonal_hd_sketch": q_zonal_hd_sketch,
         "zonal_zone_func": q_zonal_zone_func,
@@ -803,6 +820,11 @@ FROM g
     sql["tile_decode_stats"] = (
         f"SELECT image_id, dataset, w, h, mean_r, min_r, max_r, valid_cnt, "
         f"phash_check FROM read_parquet('{FIX}/oracle_tile_stats.parquet')"
+    )
+
+    sql["audio_features"] = (
+        f"SELECT clip_id, CAST(win_idx AS BIGINT) AS win_idx, rms_r, peak, "
+        f"zc_cnt FROM read_parquet('{FIX}/oracle_audio_windows.parquet')"
     )
 
     sql["frame_sample"] = f"""

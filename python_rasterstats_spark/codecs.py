@@ -156,6 +156,28 @@ def _qnt8_decode(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# pcm16 — real 16-bit PCM audio payloads (numpy only, no external codec)
+# ---------------------------------------------------------------------------
+
+_PCM_MAGIC = b"PCM1"
+
+
+def pcm16_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 waveform as a self-describing PCM payload."""
+    a = np.asarray(samples, dtype="<i2")
+    assert a.ndim == 1
+    return _PCM_MAGIC + struct.pack("<II", a.size, int(sample_rate)) + a.tobytes()
+
+
+def pcm16_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a pcm16 payload → (int16 samples, sample_rate)."""
+    assert data[:4] == _PCM_MAGIC, "not a pcm16 payload"
+    n, sr = struct.unpack_from("<II", data, 4)
+    samples = np.frombuffer(data, dtype="<i2", count=n, offset=12)
+    return samples, sr
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

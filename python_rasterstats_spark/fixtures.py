@@ -172,6 +172,26 @@ def build_arrays() -> dict:
     }
 
 
+def build_audio() -> list[tuple[str, np.ndarray, int]]:
+    """Deterministic PCM16 clips (mixed sinusoids + seeded noise): the audio
+    leg of the multimodal corpus. Returns (clip_id, int16 samples, rate)."""
+    rng = np.random.default_rng(SEED + 9)
+    clips = []
+    for i in range(24):
+        sr = 16000
+        n = 16384 + 512 * i
+        f0 = 55.0 * (1 + i % 7)
+        t = np.arange(n) / sr
+        x = (
+            0.5 * np.sin(2 * np.pi * f0 * t)
+            + 0.2 * np.sin(2 * np.pi * 3 * f0 * t + 0.7)
+            + 0.05 * rng.standard_normal(n)
+        )
+        s16 = np.clip(np.rint(x * 20000), -32768, 32767).astype(np.int16)
+        clips.append((f"clip_{i:03d}", s16, sr))
+    return clips
+
+
 # ---------------------------------------------------------------------------
 # vector collections
 # ---------------------------------------------------------------------------
@@ -732,6 +752,48 @@ def write_oracles(outdir: str, arrays=None, zones=None) -> dict:
             [("zone_id", pa.int64()), ("vertex_idx", pa.int32()),
              ("interpolate", pa.string()), ("value", pa.float64())]
         ),
+    )
+
+    # audio corpus + windowed-feature goldens (multimodal audio leg):
+    # oracle computed from the RAW waveform arrays, independent of the
+    # pcm16 payload decode the operator exercises
+    clips = build_audio()
+    au = {k: [] for k in ("clip_id", "bytes", "sample_rate", "n_samples",
+                          "caption")}
+    for cid, s16, sr in clips:
+        au["clip_id"].append(cid)
+        au["bytes"].append(C.pcm16_encode(s16, sr))
+        au["sample_rate"].append(sr)
+        au["n_samples"].append(int(s16.size))
+        au["caption"].append(f"synthetic clip {cid}")
+    _write(
+        os.path.join(outdir, "audio.parquet"),
+        au,
+        pa.schema([("clip_id", pa.string()), ("bytes", pa.binary()),
+                   ("sample_rate", pa.int32()), ("n_samples", pa.int32()),
+                   ("caption", pa.string())]),
+    )
+    WIN = 1024
+    aw = {k: [] for k in ("clip_id", "win_idx", "rms_r", "peak", "zc_cnt")}
+    for cid, s16, _sr in clips:
+        nwin = s16.size // WIN
+        w = s16[: nwin * WIN].reshape(nwin, WIN)
+        f = w.astype(np.float64) / 32768.0
+        rms = np.sqrt((f * f).mean(axis=1))
+        peak = np.abs(w.astype(np.int64)).max(axis=1)
+        sb = w < 0
+        zc = (sb[:, 1:] != sb[:, :-1]).sum(axis=1)
+        aw["clip_id"] += [cid] * nwin
+        aw["win_idx"] += list(range(nwin))
+        aw["rms_r"] += np.round(rms, 6).tolist()
+        aw["peak"] += peak.tolist()
+        aw["zc_cnt"] += zc.astype(np.int64).tolist()
+    _write(
+        os.path.join(outdir, "oracle_audio_windows.parquet"),
+        aw,
+        pa.schema([("clip_id", pa.string()), ("win_idx", pa.int32()),
+                   ("rms_r", pa.float64()), ("peak", pa.int64()),
+                   ("zc_cnt", pa.int64())]),
     )
 
     # mini-raster goldens (A20, reference main.py:318-328): prepare_zone on

@@ -138,3 +138,47 @@ def frame_sample(tiles: DataFrame, *, every: int = 4) -> DataFrame:
         .filter(F.col("frame_idx") % every == 0)
         .select("dataset", "frame_idx", "image_id", "caption", "phash")
     )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("rms_r", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zc_cnt", T.LongType()),
+    ]
+)
+
+
+def audio_window_features(audio: DataFrame, *, win: int = 1024) -> DataFrame:
+    """Windowed audio feature extraction over opaque PCM payloads: per
+    ``win``-sample window, RMS (of the [-1, 1)-normalized signal), absolute
+    peak (int16 domain) and zero-crossing count. Arrow-batched
+    ``mapInPandas``; one decode per clip; trailing partial windows are
+    dropped. This is the audio leg of the multimodal pipeline — the codec
+    (codecs.pcm16_*) is REAL (raw PCM needs no external library); lossy
+    formats would slot in behind the same fmt dispatch as images do."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in _AUDIO_SCHEMA.fields}
+            for clip_id, payload in zip(pdf["clip_id"], pdf["bytes"]):
+                samples, _sr = C.pcm16_decode(bytes(payload))
+                nwin = samples.size // win
+                if nwin == 0:
+                    continue
+                w = samples[: nwin * win].reshape(nwin, win)
+                f = w.astype(np.float64) / 32768.0
+                rms = np.sqrt((f * f).mean(axis=1))
+                peak = np.abs(w.astype(np.int64)).max(axis=1)
+                sb = w < 0
+                zc = (sb[:, 1:] != sb[:, :-1]).sum(axis=1)
+                rows["clip_id"].extend([clip_id] * nwin)
+                rows["win_idx"].extend(range(nwin))
+                rows["rms_r"].extend(np.round(rms, 6).tolist())
+                rows["peak"].extend(peak.tolist())
+                rows["zc_cnt"].extend(zc.astype(np.int64).tolist())
+            yield pd.DataFrame(rows)
+
+    return audio.select("clip_id", "bytes").mapInPandas(gen, _AUDIO_SCHEMA)

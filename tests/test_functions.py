@@ -163,3 +163,30 @@ def test_simhash_pairs_pigeonhole_exact(spark, docs):
              .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
              .filter(F.col("hamming") <= 3).collect()}
     assert got == want
+
+
+def test_pcm16_roundtrip_and_audio_features(spark):
+    """Audio leg plumbing: pcm16 codec roundtrips bit-exactly; windowed
+    features through Spark match a direct numpy computation."""
+    import numpy as np
+
+    from python_rasterstats_spark import codecs as C
+    from python_rasterstats_spark.functions.multimodal import (
+        audio_window_features,
+    )
+
+    rng = np.random.default_rng(4)
+    s16 = (rng.integers(-32768, 32768, size=5000)).astype(np.int16)
+    payload = C.pcm16_encode(s16, 8000)
+    back, sr = C.pcm16_decode(payload)
+    assert sr == 8000 and np.array_equal(back, s16)
+
+    df = spark.createDataFrame(
+        [("c0", bytearray(payload))], "clip_id string, bytes binary"
+    )
+    rows = {r["win_idx"]: r.asDict()
+            for r in audio_window_features(df, win=1024).collect()}
+    assert len(rows) == 4  # 5000 // 1024, trailing partial dropped
+    w0 = s16[:1024].astype(np.float64) / 32768.0
+    assert rows[0]["rms_r"] == round(float(np.sqrt((w0 * w0).mean())), 6)
+    assert rows[0]["peak"] == int(np.abs(s16[:1024].astype(np.int64)).max())
