@@ -233,6 +233,24 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_tile_phash_neardup(spark, sf_dir):
+    """Perceptual image near-dup pairs over the corpus phash column
+    (pigeonhole-exact Hamming LSH — oracle is brute-force all-pairs SQL)."""
+    from python_rasterstats_spark.functions.multimodal import phash_neardup
+
+    tiles, _, _ = _fixture_corpus(spark)
+    return phash_neardup(tiles, bands=8, radius=6)
+
+
+def q_scene_cuts(spark, sf_dir):
+    """Scene-cut detection: lag + xor + bit_count over per-dataset frame
+    sequences (pure JVM window expressions)."""
+    from python_rasterstats_spark.functions.multimodal import scene_cuts
+
+    tiles, _, _ = _fixture_corpus(spark)
+    return scene_cuts(tiles, threshold=20)
+
+
 def q_zonal_band2(spark, sf_dir):
     """Band-selected zonal stats (S6 band parity): band 2 of slope_bands is
     exactly 2×slope in float32, so the oracle doubles the slope pixels."""
@@ -595,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_decode_stats": q_tile_decode_stats,
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
+        "tile_phash_neardup": q_tile_phash_neardup,
+        "scene_cuts": q_scene_cuts,
         "zonal_band2": q_zonal_band2,
         "zonal_hd_sketch": q_zonal_hd_sketch,
         "zonal_zone_func": q_zonal_zone_func,
@@ -826,6 +846,27 @@ FROM g
         f"SELECT clip_id, CAST(win_idx AS BIGINT) AS win_idx, rms_r, peak, "
         f"zc_cnt FROM read_parquet('{FIX}/oracle_audio_windows.parquet')"
     )
+
+    sql["tile_phash_neardup"] = f"""
+WITH t AS (SELECT image_id, phash FROM read_parquet('{FIX}/tiles.parquet'))
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+"""
+
+    sql["scene_cuts"] = f"""
+WITH t AS (
+  SELECT dataset, image_id, phash,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS frame_idx,
+         lag(phash) OVER w AS prev
+  FROM read_parquet('{FIX}/tiles.parquet')
+  WINDOW w AS (PARTITION BY dataset ORDER BY tile_row, tile_col)
+)
+SELECT dataset, frame_idx, image_id,
+       CAST(bit_count(xor(phash, prev)) AS BIGINT) AS hamming
+FROM t WHERE prev IS NOT NULL AND bit_count(xor(phash, prev)) > 20
+"""
 
     sql["frame_sample"] = f"""
 SELECT dataset, frame_idx, image_id, caption, phash FROM (

@@ -320,31 +320,37 @@ def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
     return g.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame, *, bands: int = 8, radius: int = 3
+def hamming_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    bands: int = 8,
+    radius: int = 3,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: bit-band bucket join + exact Hamming
-    rescore (the pairs stage VERDICT r1 'Next round #8' asked for).
-
-    The 64-bit simhash splits into ``bands`` equal bit-bands; docs sharing
-    any band become candidates (one shuffle on the band bucket). By
-    pigeonhole, any pair with Hamming distance < bands must agree on at
-    least one full band — so for ``radius < bands`` the result is EXACTLY
-    the brute-force Hamming-ball set (recall 1.0 by construction, which is
-    what makes the DuckDB oracle an equality check, not a bound)."""
+    """Generic 64-bit-signature Hamming-ball pairs: bit-band bucket join +
+    exact Hamming rescore. The signature splits into ``bands`` equal
+    bit-bands; rows sharing any band become candidates (one shuffle on the
+    band bucket). By pigeonhole, any pair with Hamming distance < bands
+    agrees on at least one full band — so for ``radius < bands`` the
+    result is EXACTLY the brute-force Hamming-ball set (recall 1.0 by
+    construction: the DuckDB oracle is an equality check, not a bound).
+    Backs both simhash_pairs (text) and phash_neardup (images)."""
     assert 64 % bands == 0 and radius < bands
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash(docs)  # agg output: bands reference materialized columns
-    banded = sh.select(
-        "doc_id",
-        "simhash",
+    base = df.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    banded = base.select(
+        "_id",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * width)
+                        F.shiftright("_sig", b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
@@ -352,7 +358,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
@@ -361,15 +367,26 @@ def simhash_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.col("a._id").alias(out_a),
+            F.col("b._id").alias(out_b),
+            F.col("a._sig").alias("sa"),
+            F.col("b._sig").alias("sb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates([out_a, out_b])
         .filter(ham <= radius)
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .select(out_a, out_b, ham.cast("long").alias("hamming"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, *, bands: int = 8, radius: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs (pigeonhole-exact; see hamming_pairs)."""
+    sh = simhash(docs)  # agg output: bands reference materialized columns
+    return hamming_pairs(
+        sh, id_col="doc_id", sig_col="simhash", bands=bands, radius=radius,
+        out_a="doc_a", out_b="doc_b",
     )

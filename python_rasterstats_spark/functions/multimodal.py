@@ -182,3 +182,38 @@ def audio_window_features(audio: DataFrame, *, win: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.select("clip_id", "bytes").mapInPandas(gen, _AUDIO_SCHEMA)
+
+
+def phash_neardup(
+    tiles: DataFrame, *, bands: int = 8, radius: int = 6
+) -> DataFrame:
+    """Perceptual image near-duplicates: Hamming-ball pairs over the
+    64-bit phash column (bit-band buckets + exact rescore — pigeonhole-
+    exact for radius < bands; see dedup.hamming_pairs). The image-dedup
+    standard for training corpora: near-identical tiles land within a few
+    phash bits of each other."""
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        tiles.select("image_id", "phash"), id_col="image_id",
+        sig_col="phash", bands=bands, radius=radius,
+        out_a="image_a", out_b="image_b",
+    )
+
+
+def scene_cuts(tiles: DataFrame, *, threshold: int = 20) -> DataFrame:
+    """Scene-cut detection over a frame sequence: per dataset, frames in
+    (tile_row, tile_col) order; a cut is a frame whose phash Hamming
+    distance to its predecessor exceeds ``threshold``. Pure JVM window
+    expressions (lag + xor + bit_count)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("dataset").orderBy("tile_row", "tile_col")
+    prev = F.lag("phash").over(w)
+    ham = F.bit_count(F.col("phash").bitwiseXOR(prev))
+    return (
+        tiles.withColumn("frame_idx", F.row_number().over(w) - 1)
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") > threshold)
+        .select("dataset", "frame_idx", "image_id", "hamming")
+    )

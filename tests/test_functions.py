@@ -190,3 +190,34 @@ def test_pcm16_roundtrip_and_audio_features(spark):
     w0 = s16[:1024].astype(np.float64) / 32768.0
     assert rows[0]["rms_r"] == round(float(np.sqrt((w0 * w0).mean())), 6)
     assert rows[0]["peak"] == int(np.abs(s16[:1024].astype(np.int64)).max())
+
+
+def test_hamming_pairs_generic_pigeonhole(spark):
+    """hamming_pairs on random 64-bit signatures equals brute force for
+    radius < bands (the helper behind simhash_pairs and phash_neardup)."""
+    import numpy as np
+
+    from python_rasterstats_spark.functions.dedup import hamming_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(-2**63, 2**63, size=60, dtype=np.int64)
+    # plant near-dups: flip ≤5 bits of some signatures
+    sigs = list(base)
+    for i in range(0, 20, 4):
+        v = int(base[i])
+        for b in rng.integers(0, 64, size=int(rng.integers(0, 6))):
+            v ^= 1 << int(b)
+        sigs.append(v)
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "rid long, sig long"
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in hamming_pairs(
+        df, id_col="rid", sig_col="sig", bands=8, radius=7).collect()}
+    arr = np.array(sigs, dtype=np.int64).astype(np.uint64)
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = int(bin(int(arr[i] ^ arr[j])).count("1"))
+            if h <= 7:
+                want.add((i, j, h))
+    assert got == want and want
