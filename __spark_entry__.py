@@ -291,6 +291,28 @@ def q_zonal_hd_sketch(spark, sf_dir):
     )
 
 
+def q_zonal_crosstab(spark, sf_dir):
+    """Zonal cross-tabulation: stats of slope per slope_classes class
+    within each polygon zone — a multi-raster composition (both rasters
+    aligned by the shared tile grid; neither scan shuffled)."""
+    from python_rasterstats_spark.operators.crosstab import zonal_crosstab_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    out = zonal_crosstab_df(
+        zones.filter(F.col("collection") == "polygons"), tiles, datasets,
+        value_dataset="slope", class_dataset="slope_classes",
+    )
+    return out.select(
+        "zone_id", F.col("class").alias("cls"),
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+        F.round("sum", 6).alias("sum_r"),
+        F.round("std", 6).alias("std_r"),
+    )
+
+
 def q_zonal_multiband(spark, sf_dir):
     """One-pass per-band zonal stats (bands=[1,2] over slope_bands: decode
     once, rasterize once, stats per band; band 2 is exactly 2×slope in
@@ -620,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_zone_func": q_zonal_zone_func,
         "zonal_raster_out": q_zonal_raster_out,
         "zonal_api_surface": q_zonal_api_surface,
+        "zonal_crosstab": q_zonal_crosstab,
         "zonal_multiband": q_zonal_multiband,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
@@ -894,6 +917,25 @@ SELECT zone_id,
        round(quantile_cont(value, 0.25) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p25_r0,
        round(quantile_cont(value, 0.90) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 0) AS p90_r0
 FROM j GROUP BY zone_id
+"""
+
+    sql["zonal_crosstab"] = f"""
+WITH cover AS (SELECT zone_id, prow, pcol FROM {_COVER}
+               WHERE query = 'polygons_slope_default'),
+v AS (SELECT prow, pcol, value FROM {_PIX}
+      WHERE dataset = 'slope' AND NOT is_nodata AND NOT is_nan),
+c AS (SELECT prow, pcol, value AS cls FROM {_PIX}
+      WHERE dataset = 'slope_classes' AND NOT is_nodata AND NOT is_nan)
+SELECT cover.zone_id, c.cls, count(*) AS cnt,
+       round(min(v.value), 6) AS min_r,
+       round(max(v.value), 6) AS max_r,
+       round(avg(v.value), 6) AS mean_r,
+       round(sum(v.value), 6) AS sum_r,
+       round(stddev_pop(v.value), 6) AS std_r
+FROM cover
+JOIN v ON v.prow = cover.prow AND v.pcol = cover.pcol
+JOIN c ON c.prow = cover.prow AND c.pcol = cover.pcol
+GROUP BY cover.zone_id, c.cls
 """
 
     sql["zonal_multiband"] = _valid_join("'polygons_slope_default'") + """

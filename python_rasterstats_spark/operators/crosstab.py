@@ -1,0 +1,178 @@
+"""Zonal cross-tabulation — statistics of a VALUE raster per class of a
+CLASS raster, within each zone (the classic GIS cross-tab / tabulate-area
+operator, generalized to full scalar stats).
+
+Not in the reference (rasterstats handles one raster per call); this is a
+multi-raster composition the tile-corpus model makes natural: both
+datasets share the grid, so one broadcast cover-cell join per raster
+aligns their tiles and the kernel walks both decoded blocks under one
+rasterized cover mask. Output is long format: one row per
+(zone, class value).
+
+Plan shape matches operators/zonal.py: neither tile scan is shuffled
+(broadcast cover cells, inner joins on the tile key); the only shuffle is
+the (zone, class)-keyed scalar merge, which combines map-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import codecs as C
+from .. import geom as G
+from .. import kernel as K
+from .zonal import _effective_geom, collect_dataset_meta, zone_cover_cells
+
+_XTAB_PARTIAL = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType()),
+        T.StructField("class", T.DoubleType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("sumsq", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+    ]
+)
+
+
+def zonal_crosstab_df(
+    zones: DataFrame,
+    tiles: DataFrame,
+    datasets: DataFrame,
+    *,
+    value_dataset: str,
+    class_dataset: str,
+    stats=("count", "min", "max", "mean", "sum", "std"),
+    all_touched: bool = False,
+    nodata: float | None = None,
+    broadcast_zones: bool = True,
+    meta: dict | None = None,
+) -> DataFrame:
+    """Per-(zone, class) statistics of ``value_dataset`` where
+    ``class_dataset`` holds the class. Pixels are valid when covered by the
+    zone AND valid (non-nodata, non-NaN) in BOTH rasters. The two datasets
+    must share the affine grid and tile size."""
+    meta = meta if meta is not None else collect_dataset_meta(datasets)
+    for ds in (value_dataset, class_dataset):
+        if ds not in meta:
+            raise ValueError(f"dataset {ds!r} not in datasets table")
+    mv, mc = meta[value_dataset], meta[class_dataset]
+    if (mv["affine"], mv["tile_w"], mv["tile_h"]) != (
+        mc["affine"], mc["tile_w"], mc["tile_h"]
+    ):
+        raise ValueError(
+            "crosstab requires value and class datasets on the SAME grid "
+            f"(affine+tile size); got {value_dataset!r} vs {class_dataset!r}"
+        )
+
+    cells = zone_cover_cells(
+        zones.withColumn("dataset", F.lit(value_dataset)), meta,
+        clip_to_grid=True,
+    ).drop("dataset")
+    keys = ["tile_col", "tile_row"]
+    tv = tiles.filter(F.col("dataset") == value_dataset).select(
+        *keys, F.col("bytes").alias("vbytes"), F.col("fmt").alias("vfmt")
+    )
+    tc = tiles.filter(F.col("dataset") == class_dataset).select(
+        *keys, F.col("bytes").alias("cbytes"), F.col("fmt").alias("cfmt")
+    )
+    left = F.broadcast(cells) if broadcast_zones else cells
+    joined = left.join(tv, keys, "inner").join(tc, keys, "inner")
+
+    vnd = nodata if nodata is not None else mv["nodata"]
+    vnd = -999.0 if vnd is None else vnd
+    cnd = -999.0 if mc["nodata"] is None else mc["nodata"]
+    aff = mv["affine"]
+    tw, th = mv["tile_w"], mv["tile_h"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict = {}
+        for pdf in batches:
+            rows = {name: [] for name in _XTAB_PARTIAL.fieldNames()}
+            for zid, tcn, trn, wkb, vb, vf, cb, cf in zip(
+                pdf["zone_id"], pdf["tile_col"], pdf["tile_row"],
+                pdf["geometry_wkb"], pdf["vbytes"], pdf["vfmt"],
+                pdf["cbytes"], pdf["cfmt"],
+            ):
+                cached = geom_cache.get(zid)
+                if cached is None:
+                    geom = _effective_geom(wkb, aff)
+                    cached = (
+                        K.geom_to_pixel(geom, aff),
+                        K.bounds_window(G.geom_bounds(geom), aff),
+                    )
+                    if len(geom_cache) > 1024:
+                        geom_cache.clear()
+                    geom_cache[zid] = cached
+                pgeom, ((wr0, wr1), (wc0, wc1)) = cached
+                rr0, rr1 = max(wr0, trn * th), min(wr1, (trn + 1) * th)
+                cc0, cc1 = max(wc0, tcn * tw), min(wc1, (tcn + 1) * tw)
+                if rr0 >= rr1 or cc0 >= cc1:
+                    continue
+                region = ((rr0, rr1), (cc0, cc1))
+                rv = K.rasterize_pixgeom(pgeom, region, all_touched=all_touched)
+                if not rv.any():
+                    continue
+                rel = ((rr0 - trn * th, rr1 - trn * th),
+                       (cc0 - tcn * tw, cc1 - tcn * tw))
+                vblock = K.boundless_array(
+                    np.asarray(C.decode_tile(bytes(vb), vf)), rel, vnd
+                )
+                cblock = K.boundless_array(
+                    np.asarray(C.decode_tile(bytes(cb), cf)), rel, cnd
+                )
+                v64 = vblock.astype(np.float64, copy=False)
+                c64 = cblock.astype(np.float64, copy=False)
+                valid = (
+                    rv
+                    & (v64 != vnd) & ~np.isnan(v64)
+                    & (c64 != cnd) & ~np.isnan(c64)
+                )
+                if not valid.any():
+                    continue
+                vals, cls = v64[valid], c64[valid]
+                order = np.argsort(cls, kind="stable")
+                vals, cls = vals[order], cls[order]
+                uc, starts = np.unique(cls, return_index=True)
+                bounds = np.append(starts, cls.size)
+                for k in range(uc.size):
+                    seg = vals[bounds[k] : bounds[k + 1]]
+                    rows["zone_id"].append(zid)
+                    rows["class"].append(float(uc[k]))
+                    rows["count"].append(int(seg.size))
+                    rows["sum"].append(float(seg.sum()))
+                    rows["sumsq"].append(float(seg @ seg))
+                    rows["min"].append(float(seg.min()))
+                    rows["max"].append(float(seg.max()))
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
+
+    partials = joined.mapInPandas(gen, _XTAB_PARTIAL)
+    agg = partials.groupBy("zone_id", "class").agg(
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+        F.sum("sumsq").alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    cnt = F.col("count")
+    mean = F.col("sum") / cnt
+    var = F.col("sumsq") / cnt - mean * mean
+    out_cols = [F.col("zone_id"), F.col("class")]
+    for s in stats:
+        if s == "count":
+            out_cols.append(cnt.alias("count"))
+        elif s == "mean":
+            out_cols.append(mean.alias("mean"))
+        elif s == "std":
+            out_cols.append(F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"))
+        elif s in ("min", "max", "sum"):
+            out_cols.append(F.col(s).alias(s))
+        else:
+            raise ValueError(f"crosstab stat {s!r} not supported")
+    return agg.select(*out_cols)

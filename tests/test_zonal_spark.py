@@ -233,3 +233,48 @@ def test_exploded_holistic_matches_exact(corpus):
         z, tiles, datasets, dataset="slope_classes", stats=["count"],
         categorical=True).collect()}
     assert all(c[k]["value_counts"] == d[k]["value_counts"] for k in c)
+
+
+def test_zonal_crosstab_matches_numpy(corpus):
+    """Cross-tab vs direct numpy on the mosaicked rasters: per (zone,
+    class), count/mean/min/max/sum/std of slope where slope_classes holds
+    the class; plan stays SMJ-free with no tile-key exchange."""
+    import numpy as np
+
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark import kernel as K
+    from python_rasterstats_spark.fixtures import build_arrays, build_zones
+    from python_rasterstats_spark.operators.crosstab import zonal_crosstab_df
+    from python_rasterstats_spark.plans.explain import physical_plan
+
+    tiles, zones, datasets = corpus
+    df = zonal_crosstab_df(
+        zones.filter(F.col("collection") == "polygons"), tiles, datasets,
+        value_dataset="slope", class_dataset="slope_classes",
+    )
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(tile_col" not in plan
+    got = {(r["zone_id"], r["class"]): r.asDict() for r in df.collect()}
+
+    arrays = build_arrays()
+    slope, aff, nd, _ = arrays["slope"]
+    classes, _, cnd, _ = arrays["slope_classes"]
+    zs = [z for z in build_zones() if z["collection"] == "polygons"]
+    want_keys = set()
+    for z in zs:
+        win = K.bounds_window(G.geom_bounds(z["geom"]), aff)
+        rv = K.rasterize_pixgeom(K.geom_to_pixel(z["geom"], aff), win)
+        vb = K.boundless_array(slope, win, nd).astype(np.float64)
+        cb = K.boundless_array(classes, win, cnd).astype(np.float64)
+        valid = rv & (vb != nd) & (cb != cnd) & ~np.isnan(vb) & ~np.isnan(cb)
+        for cls in np.unique(cb[valid]):
+            seg = vb[valid & (cb == cls)]
+            key = (z["zone_id"], float(cls))
+            want_keys.add(key)
+            g = got[key]
+            assert g["count"] == seg.size
+            assert g["min"] == seg.min() and g["max"] == seg.max()
+            assert g["mean"] == pytest.approx(seg.mean(), rel=1e-12)
+            assert g["std"] == pytest.approx(seg.std(), rel=1e-9)
+    assert set(got) == want_keys
