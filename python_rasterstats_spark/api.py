@@ -319,12 +319,6 @@ def gen_point_query(
     spark = spark or get_spark()
     feats, zones = _features_to_zone_rows(spark, vectors, layer)
     tiles, datasets, dataset = _resolve_raster(spark, raster, affine, nodata, band)
-    from .operators.zonal import collect_dataset_meta
-
-    meta = collect_dataset_meta(datasets)
-    dt = meta.get(dataset, {}).get("dtype")
-    int_keys = dt is not None and np.issubdtype(np.dtype(dt), np.integer)
-
     from .operators.point import point_query_df
 
     result = point_query_df(

@@ -89,20 +89,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame:
-    """MinHash signatures: k independent min-hashes over n-gram shingles.
-
-    Hash family: xxhash64(shingle, seed_i) — JVM-side, vectorized; the
-    signature is an array<long> column (shingle→minhash step of
-    MinHash+LSH dedup).
-
-    Plan: explode shingles → k hash-min aggregates in ONE whole-stage
-    codegen hash aggregation (map-side partial combine: the shuffle moves
-    ≤1 row of k longs per (doc, partition), never the shingles). ~2.5×
-    faster than folding a k-array accumulator per shingle with
-    higher-order functions, and identical values (same hash family +
-    min is order-free), so the committed oracle is unaffected.
-    """
+def _minhash_agg(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame:
+    """Signatures for shingle-able docs only (internal: feeds the LSH path
+    without the row-per-doc reinstatement join)."""
     toks = F.split(F.trim(F.col("text")), " ")
     sh = (
         docs.filter(F.size(toks) >= n)
@@ -118,6 +107,27 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame
     )
 
 
+def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame:
+    """MinHash signatures: k independent min-hashes over n-gram shingles.
+
+    Hash family: xxhash64(shingle, seed_i) — JVM-side, vectorized; the
+    signature is an array<long> column (shingle→minhash step of
+    MinHash+LSH dedup).
+
+    Plan: explode shingles → k hash-min aggregates in ONE whole-stage
+    codegen hash aggregation (map-side partial combine: the shuffle moves
+    ≤1 row of k longs per (doc, partition), never the shingles). ~2.5×
+    faster than folding a k-array accumulator per shingle with
+    higher-order functions, and identical values (same hash family +
+    min is order-free), so the committed oracle is unaffected.
+
+    Output contract: ONE row per input doc — docs whose text is NULL or
+    shorter than ``n`` tokens (no shingles) get a NULL signature, matching
+    the pre-aggregation cardinality.
+    """
+    return docs.select("doc_id").join(_minhash_agg(docs, n=n, k=k), "doc_id", "left")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame, *, n: int = 3, k: int = 32, bands: int = 8
 ) -> DataFrame:
@@ -131,8 +141,9 @@ def minhash_lsh_candidates(
     r = k // bands
     # no exchange barrier needed: the signature is the OUTPUT of a hash
     # aggregation, so band expressions reference materialized agg columns
-    # (nothing for Catalyst to re-expand per band)
-    sigs = minhash_signatures(docs, n=n, k=k)
+    # (nothing for Catalyst to re-expand per band); _minhash_agg skips the
+    # row-per-doc reinstatement join (NULL signatures can't band anyway)
+    sigs = _minhash_agg(docs, n=n, k=k)
     banded = sigs.select(
         "doc_id",
         "signature",
@@ -287,17 +298,9 @@ def embedding_neardup_lsh(
     )
 
 
-def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
-
-    Pure JVM expressions: for each bit, sum ±1 votes from xxhash64(token)
-    and pack the sign bits. Hamming-close simhashes ≈ similar documents.
-
-    Plan: explode distinct tokens (hash each token ONCE) → ``bits``
-    sum-aggregates in one codegen hash aggregation with map-side combine —
-    same values as the per-row array fold (vote sums are order-free) but
-    without evaluating a 64-fold expression tree per document.
-    """
+def _simhash_agg(docs: DataFrame, *, bits: int = 64) -> DataFrame:
+    """Simhashes for docs with tokens only (internal: feeds the pairs path
+    without the row-per-doc reinstatement join)."""
     toks = F.array_distinct(F.split(F.trim(F.col("text")), " "))
     t = docs.select("doc_id", F.explode(toks).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
@@ -318,6 +321,23 @@ def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseXOR(term)
     return g.select("doc_id", packed.alias("simhash"))
+
+
+def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes.
+
+    Pure JVM expressions: for each bit, sum ±1 votes from xxhash64(token)
+    and pack the sign bits. Hamming-close simhashes ≈ similar documents.
+
+    Plan: explode distinct tokens (hash each token ONCE) → ``bits``
+    sum-aggregates in one codegen hash aggregation with map-side combine —
+    same values as the per-row array fold (vote sums are order-free) but
+    without evaluating a 64-fold expression tree per document.
+
+    Output contract: ONE row per input doc — NULL-text docs (explode emits
+    nothing for them) get a NULL simhash rather than silently dropping.
+    """
+    return docs.select("doc_id").join(_simhash_agg(docs, bits=bits), "doc_id", "left")
 
 
 def hamming_pairs(
@@ -385,7 +405,7 @@ def simhash_pairs(
     docs: DataFrame, *, bands: int = 8, radius: int = 3
 ) -> DataFrame:
     """SimHash near-duplicate pairs (pigeonhole-exact; see hamming_pairs)."""
-    sh = simhash(docs)  # agg output: bands reference materialized columns
+    sh = _simhash_agg(docs)  # agg output: bands reference materialized columns
     return hamming_pairs(
         sh, id_col="doc_id", sig_col="simhash", bands=bands, radius=radius,
         out_a="doc_a", out_b="doc_b",

@@ -82,16 +82,37 @@ def beyond_extent(window, shape):
     return r0 < 0 or c0 < 0 or r1 > shape[0] or c1 > shape[1]
 
 
+def fill_dtype(dt, fill):
+    """Dtype for a fill-padded block: the native ``dt`` when ``fill``
+    round-trips through it, else float64. An unrepresentable fill (e.g.
+    -999 in a uint8 raster with no declared nodata) would wrap into the
+    data range and make pad pixels indistinguishable from real data —
+    promotion keeps ``block == fill`` an exact pad/nodata test. (float64
+    stores any int exactly up to 2^53; int rasters wider than that with an
+    unrepresentable fill would lose precision, a combination no real
+    raster uses.)"""
+    dt = np.dtype(dt)
+    if isinstance(fill, float) and math.isnan(fill):
+        return dt if np.issubdtype(dt, np.floating) else np.dtype(np.float64)
+    try:
+        ok = np.asarray(fill).astype(dt).item() == fill
+    except (OverflowError, ValueError, TypeError):
+        ok = False
+    return dt if ok else np.dtype(np.float64)
+
+
 def boundless_array(arr, window, nodata, masked=False):
     """Read an arbitrary window of ``arr``, padding with nodata
-    (reference: io.py:177-221, 2D path)."""
+    (reference: io.py:177-221, 2D path). The output dtype promotes to
+    float64 when the pad value doesn't round-trip through the native dtype
+    (see fill_dtype) so pads always fail validity tests exactly."""
     (wr0, wr1), (wc0, wc1) = window
     h, w = arr.shape[-2:]
     olr0 = max(min(wr0, h), 0)
     olr1 = max(min(wr1, h), 0)
     olc0 = max(min(wc0, w), 0)
     olc1 = max(min(wc1, w), 0)
-    out = np.empty((wr1 - wr0, wc1 - wc0), dtype=arr.dtype)
+    out = np.empty((wr1 - wr0, wc1 - wc0), dtype=fill_dtype(arr.dtype, nodata))
     out[:] = nodata
     nr0 = olr0 - wr0
     nc0 = olc0 - wc0
@@ -460,6 +481,7 @@ def partial_stats(
     nodata,
     want_counts: bool,
     sketch_px: int | None = None,
+    int_sum: bool | None = None,
 ):
     """Partial aggregation state for one (zone, tile) pixel block.
 
@@ -487,11 +509,21 @@ def partial_stats(
     vals = arr[valid]
     n = int(vals.size)
     v64 = vals.astype(np.float64, copy=False) if n else vals
-    is_int = np.issubdtype(arr.dtype, np.integer)
+    # int_sum overrides dtype inference: a block of an INTEGER raster may
+    # arrive promoted to float64 (boundless pad with an unrepresentable
+    # fill — see fill_dtype); the dataset dtype, not the block dtype,
+    # decides whether the reference's int64 sum accumulation applies
+    # (main.py:210-215, 262-267). Values are exactly integral either way,
+    # so the int64 cast below is lossless.
+    is_int = int_sum if int_sum is not None else np.issubdtype(arr.dtype, np.integer)
     # 0 (not None) for empty int partials: a non-null int64 column survives
     # the Arrow→pandas round trip as int64 (nullable would decay to float64
     # and silently round beyond 2^53)
-    sum_i = int(vals.sum(dtype=np.int64)) if (is_int and n) else (0 if is_int else None)
+    sum_i = (
+        int(vals.astype(np.int64, copy=False).sum(dtype=np.int64))
+        if (is_int and n)
+        else (0 if is_int else None)
+    )
     out = {
         "cover_count": int(cover.sum()),
         "count": n,

@@ -135,9 +135,12 @@ def zonal_gather_df(
         fill = -999.0 if nd is None else nd
         # mosaic in the raster's NATIVE dtype: the reference hands zone_func/
         # add_stats the raw-band masked array (main.py:208-228), so e.g.
-        # float32 rounding in user transforms must match bit-for-bit
+        # float32 rounding in user transforms must match bit-for-bit.
+        # Native only when the fill round-trips (kernel.fill_dtype) — an
+        # unrepresentable fill (uint8 raster, nodata None → -999) would
+        # wrap into the data range and corrupt boundless/missing pixels.
         cdtype = np.dtype(m["dtype"]) if m.get("dtype") else np.float64
-        canvas = np.full((r1 - r0, c1 - c0), fill, dtype=cdtype)
+        canvas = np.full((r1 - r0, c1 - c0), fill, dtype=K.fill_dtype(cdtype, fill))
         for tc, tr, payload, fmt in zip(
             pdf["tile_col"], pdf["tile_row"], pdf["bytes"], pdf["fmt"]
         ):

@@ -68,9 +68,16 @@ def point_query_df(
     nodata: float | None = None,
     boundless: bool = True,
     band: int = 1,
+    broadcast_vertices: bool = True,
 ) -> DataFrame:
     """Raster values at each vertex of each zone geometry (J3 kNN join:
-    k=1 nearest / k=4 bilinear grid neighbors)."""
+    k=1 nearest / k=4 bilinear grid neighbors).
+
+    ``broadcast_vertices=True`` hints the vertex-window side (and the
+    per-vertex interpolation output) into broadcast hash joins so the tile
+    scan never shuffles — right whenever the vertex set fits executor
+    memory. For huge vertex sets pass False to keep the SMJ fallback
+    reachable (same regime switch as zonal_stats_df's broadcast_zones)."""
     if interpolate not in ("nearest", "bilinear"):
         raise ValueError("interpolate must be nearest or bilinear")
     meta = collect_dataset_meta(datasets)
@@ -140,8 +147,9 @@ def point_query_df(
     # INNER broadcast join (a left join can't broadcast its left side and
     # would shuffle the tile table); vertices whose tiles are all missing
     # are reinstated as NULL after interpolation via vkeys
+    _bc = F.broadcast if broadcast_vertices else (lambda d: d)
     vkeys = windows.select("zone_id", "vertex_idx").distinct()
-    joined = F.broadcast(windows).join(
+    joined = _bc(windows).join(
         tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
         ["dataset", "tile_col", "tile_row"],
         "inner",
@@ -240,5 +248,6 @@ def point_query_df(
     # vertices with no tile at all (beyond extent / absent tiles) → NULL,
     # preserving one output row per vertex (J4 boundless semantics).
     # interped is ≤1 row per vertex — same cardinality class as the
-    # broadcastable vertex side, so broadcast it and keep the plan SMJ-free
-    return vkeys.join(F.broadcast(interped), ["zone_id", "vertex_idx"], "left")
+    # broadcastable vertex side, so broadcast it (when that side is
+    # broadcastable at all) and keep the plan SMJ-free
+    return vkeys.join(_bc(interped), ["zone_id", "vertex_idx"], "left")

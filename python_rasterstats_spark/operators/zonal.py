@@ -317,6 +317,13 @@ def partial_kernel(
                         tile_cache[tkey] = decoded
                 nd = nodata_override if nodata_override is not None else m["nodata"]
                 nd = -999.0 if nd is None else nd  # io.py:331-340 default
+                # int64-sum hint from the DATASET dtype: boundless pads may
+                # promote a block to float64 (kernel.fill_dtype) but the
+                # raster stays integer-semantics (kernel.partial_stats)
+                int_sum = (
+                    bool(np.issubdtype(np.dtype(m["dtype"]), np.integer))
+                    if m.get("dtype") else None
+                )
                 if bands is not None:
                     # one decode + one rasterize per pair, stats per band
                     for bno in bands:
@@ -325,7 +332,8 @@ def partial_kernel(
                             db = decoded[bno - 1] if decoded.ndim == 3 else decoded
                         block_b = _cell_block(m, tr, tc, db, region, nd)
                         p = K.partial_stats(block_b, rv, nd, want_counts,
-                                            sketch_px=sketch_px)
+                                            sketch_px=sketch_px,
+                                            int_sum=int_sum)
                         if (p["count"] == 0 and p["nodata_count"] == 0
                                 and p["nan_count"] == 0):
                             continue
@@ -356,7 +364,7 @@ def partial_kernel(
                     p["nan_count"] = int((isnan & rv).sum())
                 else:
                     p = K.partial_stats(block, rv, nd, want_counts,
-                                        sketch_px=sketch_px)
+                                        sketch_px=sketch_px, int_sum=int_sum)
                 if (
                     p["count"] == 0
                     and p["nodata_count"] == 0
