@@ -221,12 +221,27 @@ def gen_zonal_stats(
     dt = meta.get(dataset, {}).get("dtype")
     int_keys = dt is not None and np.issubdtype(np.dtype(dt), np.integer)
 
-    use_gather = bool(add_stats) or raster_out or (
+    # add_stats dispatch (SURVEY §2.4 A18): plain callables need the whole
+    # masked zone array -> gather tier (the reference's execution model);
+    # (partial_fn, merge_fn, finalize_fn) triples run on the scalable
+    # partial/merge path and never mosaic a zone into one task.
+    mergeable_add = bool(add_stats) and all(
+        isinstance(v, (tuple, list)) and len(v) == 3
+        for v in add_stats.values()
+    )
+    use_gather = (bool(add_stats) and not mergeable_add) or raster_out or (
         zone_func is not None and zone_func_mode != "elementwise"
     )
     pctiles = [s for s in stats if s.startswith("percentile_")]
     base_stats = [s for s in stats if not s.startswith("percentile_")]
 
+    if use_gather and mergeable_add:
+        raise ValueError(
+            "add_stats (partial, merge, finalize) triples run on the "
+            "distributed partial/merge path, which raster_out and "
+            "whole-zone zone_func cannot use — pass plain callables for "
+            "the gather tier, or zone_func_mode='elementwise'"
+        )
     if use_gather:
         from .operators.gather import zonal_gather_df
 
@@ -245,6 +260,7 @@ def gen_zonal_stats(
             categorical=categorical, nodata=nodata, boundless=boundless,
             zone_func=zone_func, meta=meta,
             band=band if isinstance(raster, TileRaster) else 1,
+            add_stats=add_stats if mergeable_add else None,
         )
 
     rows = {r["zone_id"]: r.asDict() for r in result.collect()}

@@ -50,40 +50,85 @@ def _shingles(n: int = 3):
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_candidates(
     docs: DataFrame, *, n: int = 3, threshold: float = 0.4, block: str = "source"
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram shingle Jaccard within blocks.
+    """EXACT candidate generation for shingle-Jaccard pairs via prefix
+    filtering (Bayardo et al. WWW'07 / Xiao et al. PPJoin — public papers).
 
-    The block column (default ``source``) bounds the self-join — the
-    standard blocking trick that turns O(N²) into Σ O(B²). Exact Jaccard,
-    no sketching: (doc_a, doc_b, jaccard_r ≥ threshold).
+    Order each doc's shingles by ascending per-block document frequency
+    (any fixed total order works; df-ascending puts HOT shingles last) and
+    keep only the first ``|d| - ceil(t*|d|) + 1`` as the doc's prefix. Any
+    pair with Jaccard >= t shares >= ceil(t*|d|) shingles, so its first
+    common shingle (in the global order) must fall inside BOTH prefixes —
+    joining prefixes is therefore a lossless candidate filter. A shingle
+    shared by k docs contributes k'² candidate pairs only for the k' docs
+    holding it in their PREFIX, which for hot shingles (ranked last) is
+    typically zero — this kills the r2 hot-shingle quadratic blowup
+    without changing the >=threshold output.
     """
     toks = F.split(F.trim(F.col("text")), " ")
     sh = (
         docs.filter(F.size(toks) >= n)
         .select("doc_id", F.col(block).alias("block"), _shingles(n).alias("shingles"))
-        .select("doc_id", "block", F.explode("shingles").alias("shingle"))
+        .select(
+            "doc_id", "block", F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    dfreq = sh.groupBy("block", "shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, ["block", "shingle"]).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
+        "doc_id", "block", "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.4, block: str = "source"
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram shingle Jaccard within blocks:
+    (doc_a, doc_b, jaccard_r >= threshold). EXACT — prefix-filtered
+    candidates (see ngram_jaccard_candidates; lossless by the prefix
+    lemma) rescored against the FULL shingle sets with a JVM
+    array_intersect, so no shingle self-join over hot shingles ever
+    materializes and the output is identical to the brute-force join.
+
+    The block column (default ``source``) additionally bounds comparisons
+    to within-block pairs (the usual blocking contract)."""
+    cands = ngram_jaccard_candidates(
+        docs, n=n, threshold=threshold, block=block
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    sets = docs.filter(F.size(toks) >= n).select(
+        "doc_id", _shingles(n).alias("sh")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_r"))
     )
@@ -128,8 +173,27 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame
     return docs.select("doc_id").join(_minhash_agg(docs, n=n, k=k), "doc_id", "left")
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` before the
+    self-join. A degenerate bucket — a corpus slice of identical or
+    near-identical items — would emit O(B²) candidate pairs and serialize
+    one reducer; members of a dropped bucket can still pair through their
+    OTHER bands, and truly identical items are exact-dedup's job anyway.
+    Documented recall trade for bounded worst-case cost; None = exact
+    (the default, used by every gated query)."""
+    if not max_bucket:
+        return banded
+    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    return (
+        banded.join(counts, ["band", "bucket"])
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_candidates(
-    docs: DataFrame, *, n: int = 3, k: int = 32, bands: int = 8
+    docs: DataFrame, *, n: int = 3, k: int = 32, bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate pairs + estimated
     Jaccard (fraction of agreeing signature positions).
@@ -169,6 +233,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -234,6 +299,7 @@ def embedding_neardup_lsh(
     query_max_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via multiband hyperplane LSH + exact cosine
     rescore — the SCALE path (VERDICT r1 'Next round #3'): candidates are
@@ -271,6 +337,7 @@ def embedding_neardup_lsh(
             )
         ).alias("bb"),
     ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     if query_max_id is not None:
         a = banded.filter(F.col("vec_id") < query_max_id).alias("a")
@@ -349,6 +416,7 @@ def hamming_pairs(
     radius: int = 3,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Generic 64-bit-signature Hamming-ball pairs: bit-band bucket join +
     exact Hamming rescore. The signature splits into ``bands`` equal
@@ -357,7 +425,9 @@ def hamming_pairs(
     agrees on at least one full band — so for ``radius < bands`` the
     result is EXACTLY the brute-force Hamming-ball set (recall 1.0 by
     construction: the DuckDB oracle is an equality check, not a bound).
-    Backs both simhash_pairs (text) and phash_neardup (images)."""
+    Backs both simhash_pairs (text) and phash_neardup (images).
+    ``max_bucket`` (off by default) trades that exactness guarantee for
+    bounded degenerate-bucket cost — see _cap_buckets."""
     assert 64 % bands == 0 and radius < bands
     width = 64 // bands
     mask = (1 << width) - 1
@@ -379,6 +449,7 @@ def hamming_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))

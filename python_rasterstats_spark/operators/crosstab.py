@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .. import codecs as C
 from .. import geom as G
 from .. import kernel as K
-from .zonal import _effective_geom, collect_dataset_meta, zone_cover_cells
+from .zonal import (
+    _effective_geom,
+    broadcast_zone_geoms,
+    collect_dataset_meta,
+    zone_cover_cells,
+)
 
 _XTAB_PARTIAL = T.StructType(
     [
@@ -70,10 +75,15 @@ def zonal_crosstab_df(
             f"(affine+tile size); got {value_dataset!r} vs {class_dataset!r}"
         )
 
+    # KEY-ONLY cells + once-per-zone geometry broadcast (operators/zonal.py
+    # rationale: never store WKB per covering tile); the SMJ regime
+    # (broadcast_zones=False) carries WKB on the cells through the
+    # tile-key shuffle instead
+    zdim = zones.withColumn("dataset", F.lit(value_dataset))
     cells = zone_cover_cells(
-        zones.withColumn("dataset", F.lit(value_dataset)), meta,
-        clip_to_grid=True,
+        zdim, meta, clip_to_grid=True, with_geometry=not broadcast_zones
     ).drop("dataset")
+    geoms_bc = broadcast_zone_geoms(zdim) if broadcast_zones else None
     keys = ["tile_col", "tile_row"]
     tv = tiles.filter(F.col("dataset") == value_dataset).select(
         *keys, F.col("bytes").alias("vbytes"), F.col("fmt").alias("vfmt")
@@ -94,13 +104,17 @@ def zonal_crosstab_df(
         geom_cache: dict = {}
         for pdf in batches:
             rows = {name: [] for name in _XTAB_PARTIAL.fieldNames()}
-            for zid, tcn, trn, wkb, vb, vf, cb, cf in zip(
+            wkbs = pdf["geometry_wkb"] if geoms_bc is None else None
+            for i, (zid, tcn, trn, vb, vf, cb, cf) in enumerate(zip(
                 pdf["zone_id"], pdf["tile_col"], pdf["tile_row"],
-                pdf["geometry_wkb"], pdf["vbytes"], pdf["vfmt"],
-                pdf["cbytes"], pdf["cfmt"],
-            ):
+                pdf["vbytes"], pdf["vfmt"], pdf["cbytes"], pdf["cfmt"],
+            )):
                 cached = geom_cache.get(zid)
                 if cached is None:
+                    wkb = (
+                        geoms_bc.value[(zid, value_dataset)]
+                        if wkbs is None else wkbs.iloc[i]
+                    )
                     geom = _effective_geom(wkb, aff)
                     cached = (
                         K.geom_to_pixel(geom, aff),

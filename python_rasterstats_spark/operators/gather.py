@@ -84,10 +84,19 @@ def zonal_gather_df(
         zones = zones.withColumn("properties_json", F.lit(None).cast("string"))
 
     zcols = zones.select("zone_id", "dataset", "geometry_wkb", "properties_json")
+    # KEY-ONLY cells: geometry + properties ship once per zone via a
+    # broadcast dict (same rationale as operators/zonal.py — never store
+    # WKB per covering tile). The gather tier is broadcast-regime by
+    # definition (each zone must fit one task anyway).
     cells = zone_cover_cells(
         zcols, meta, clip_to_grid=False, max_cells_per_zone=max_cells_per_zone,
         raise_beyond_extent=not boundless,
     )
+    zinfo = {
+        row["zone_id"]: (bytes(row["geometry_wkb"]), row["properties_json"])
+        for row in zcols.collect()
+    }
+    zbc = zones.sparkSession.sparkContext.broadcast(zinfo)
     # Inner broadcast join (a left join cannot broadcast its left side and
     # would shuffle the tile table — same plan rule as operators/zonal.py).
     # Zones whose tiles are ALL absent must still produce a count-0 row
@@ -98,7 +107,7 @@ def zonal_gather_df(
     keys = ["dataset", "tile_col", "tile_row"]
     tile_side = tiles.select(*keys, "bytes", "fmt")
     present = F.broadcast(cells).join(tile_side, keys, "inner")
-    present_zones = F.broadcast(cells.select("zone_id", *keys)).join(
+    present_zones = F.broadcast(cells).join(
         tiles.select(*keys), keys, "inner"
     ).select("zone_id")
     stubs = (
@@ -107,9 +116,7 @@ def zonal_gather_df(
         .withColumn("bytes", F.lit(None).cast("binary"))
         .withColumn("fmt", F.lit(None).cast("string"))
     )
-    joined = present.unionByName(stubs).join(
-        F.broadcast(zcols.select("zone_id", "properties_json")), "zone_id", "left"
-    )
+    joined = present.unionByName(stubs)
 
     schema = _result_schema(stats, categorical, add_stats, raster_out)
     add_stats = add_stats or {}
@@ -119,7 +126,8 @@ def zonal_gather_df(
         ds = pdf["dataset"].iloc[0]
         m = meta[ds]
         aff = m["affine"]
-        geom = G.wkb_loads(bytes(pdf["geometry_wkb"].iloc[0]))
+        wkb, props_json = zbc.value[zid]
+        geom = G.wkb_loads(wkb)
         geom_eff = (
             K.boxify_points(geom, aff) if "Point" in geom["type"] else geom
         )
@@ -192,8 +200,7 @@ def zonal_gather_df(
                 {float(k): int(v) for k, v in vc.items()} if vc else None
             ]
         if add_stats:
-            pj = pdf["properties_json"].iloc[0]
-            props = json.loads(pj) if pj else {}
+            props = json.loads(props_json) if props_json else {}
             for name, fn in add_stats.items():
                 n_params = len(inspect.signature(fn).parameters)
                 if n_params == 3:  # main.py:306-316 arity dispatch

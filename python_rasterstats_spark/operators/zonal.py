@@ -100,15 +100,34 @@ def _effective_geom(wkb: bytes, aff):
 # stage 1 — cover cells
 # ---------------------------------------------------------------------------
 
-_CELLS_SCHEMA = T.StructType(
-    [
+def _cells_schema(with_geometry: bool) -> T.StructType:
+    fields = [
         T.StructField("zone_id", T.LongType()),
         T.StructField("dataset", T.StringType()),
         T.StructField("tile_col", T.IntegerType()),
         T.StructField("tile_row", T.IntegerType()),
-        T.StructField("geometry_wkb", T.BinaryType()),
     ]
-)
+    if with_geometry:
+        fields.append(T.StructField("geometry_wkb", T.BinaryType()))
+    return T.StructType(fields)
+
+
+def broadcast_zone_geoms(zones: DataFrame):
+    """Broadcast the one-row-per-zone geometry dim as a plain dict keyed by
+    (zone_id, dataset).
+
+    The broadcast-regime answer to per-cell WKB duplication: a continent
+    zone covering millions of tiles stores its (potentially multi-MB) WKB
+    exactly ONCE per executor, instead of once per covering tile inside
+    the broadcast relation and again per row through the kernel-stage
+    Arrow stream. Collecting here costs the same driver memory a broadcast
+    hash join of the zone dim would (the driver builds the broadcast
+    relation either way)."""
+    spark = zones.sparkSession
+    d = {}
+    for row in zones.select("zone_id", "dataset", "geometry_wkb").collect():
+        d[(row["zone_id"], row["dataset"])] = bytes(row["geometry_wkb"])
+    return spark.sparkContext.broadcast(d)
 
 
 def zone_cover_cells(
@@ -118,6 +137,7 @@ def zone_cover_cells(
     clip_to_grid: bool,
     max_cells_per_zone: int = 4_000_000,
     raise_beyond_extent: bool = False,
+    with_geometry: bool = False,
 ) -> DataFrame:
     """Explode each zone into its covering tile keys (J1 filter phase).
 
@@ -127,6 +147,13 @@ def zone_cover_cells(
     (they join to nothing and synthesize boundless nodata fill — J4).
     ``raise_beyond_extent`` reproduces the reference's boundless=False
     guard (io.py:323-326): a zone window outside the dataset extent raises.
+
+    Cells are KEY-ONLY by default — geometry is attached downstream from
+    the one-row-per-zone dim (broadcast_zone_geoms), never stored per
+    (zone, tile). ``with_geometry=True`` carries the WKB on each cell row
+    instead: the SMJ regime (zone set too large to broadcast/collect)
+    needs it to ride the tile-key shuffle, which is cheaper than a second
+    payload-bearing shuffle to attach geometry by zone afterwards.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,21 +196,22 @@ def zone_cover_cells(
                 out_ds.extend([ds] * ncells)
                 out_tc.append(np.tile(tcs, len(trs)))
                 out_tr.append(np.repeat(trs, len(tcs)))
-                out_wkb.extend([wkb] * ncells)
+                if with_geometry:
+                    out_wkb.extend([wkb] * ncells)
             if not out_ds:
                 continue
-            yield pd.DataFrame(
-                {
-                    "zone_id": np.concatenate(out_zid),
-                    "dataset": out_ds,
-                    "tile_col": np.concatenate(out_tc),
-                    "tile_row": np.concatenate(out_tr),
-                    "geometry_wkb": out_wkb,
-                }
-            )
+            cols = {
+                "zone_id": np.concatenate(out_zid),
+                "dataset": out_ds,
+                "tile_col": np.concatenate(out_tc),
+                "tile_row": np.concatenate(out_tr),
+            }
+            if with_geometry:
+                cols["geometry_wkb"] = out_wkb
+            yield pd.DataFrame(cols)
 
     return spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
-        gen, _CELLS_SCHEMA
+        gen, _cells_schema(with_geometry)
     )
 
 
@@ -191,7 +219,9 @@ def zone_cover_cells(
 # stage 2 — partial kernel
 # ---------------------------------------------------------------------------
 
-def _partial_schema(compact_vc: bool = False, with_band: bool = False) -> T.StructType:
+def _partial_schema(
+    compact_vc: bool = False, with_band: bool = False, user_cols: tuple = ()
+) -> T.StructType:
     """Partial-row schema. ``compact_vc`` packs the value-count arrays into
     BINARY blobs (float32-LE values + int32-LE counts, counts empty when
     they are all 1s) — lossless when the raster dtype is float32, half the
@@ -215,6 +245,7 @@ def _partial_schema(compact_vc: bool = False, with_band: bool = False) -> T.Stru
             T.StructField("vc_vals", vt),
             T.StructField("vc_cnts", ct),
         ]
+        + [T.StructField(f"u_{n}", T.ArrayType(T.DoubleType())) for n in user_cols]
     )
 
 
@@ -257,9 +288,24 @@ def partial_kernel(
     sketch_px: int | None = None,
     compact_vc: bool = False,
     bands: list | None = None,
+    geoms=None,
+    user_partials: dict | None = None,
 ) -> DataFrame:
     """Per-(zone, tile) refine + partial aggregation (J1 refine phase +
     P2-P5 masks + A1-A15 partial states).
+
+    ``user_partials`` maps stat name → partial_fn(masked) returning a
+    fixed-length float state vector per (zone, tile) block — the SCALABLE
+    add_stats protocol (SURVEY §2.4 A18): the user fn runs on mergeable
+    partials instead of a gathered whole-zone mosaic. The masked array it
+    sees has the same semantics as the reference's (nodata/NaN/outside-
+    zone masked), restricted to this partial's block; states merge via the
+    matching merge_fn in merged_stats.
+
+    Geometry arrives either via ``geoms`` (a Broadcast dict from
+    broadcast_zone_geoms — the broadcast regime: WKB stored once per zone
+    per executor, never per cell) or as a per-row ``geometry_wkb`` column
+    (the SMJ regime). Exactly one must be present.
 
     With ``bands`` set, ONE pass emits per-band partial rows: the payload
     is decoded once and the zone rasterized once per (zone, tile) pair,
@@ -267,22 +313,29 @@ def partial_kernel(
     mutually exclusive with zone_func)."""
     if bands is not None and zone_func is not None:
         raise ValueError("bands and zone_func cannot be combined")
-    schema = _partial_schema(compact_vc, with_band=bands is not None)
+    user_partials = user_partials or {}
+    if bands is not None and user_partials:
+        raise ValueError("bands and user add_stats cannot be combined")
+    schema = _partial_schema(
+        compact_vc, with_band=bands is not None, user_cols=tuple(user_partials)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict = {}
         tile_cache: dict = {}
         for pdf in batches:
             rows = {name: [] for name in schema.fieldNames()}
-            for zid, ds, tc, tr, wkb, payload, fmt in zip(
+            wkbs = pdf["geometry_wkb"] if geoms is None else None
+            for i, (zid, ds, tc, tr, payload, fmt) in enumerate(zip(
                 pdf["zone_id"], pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
-                pdf["geometry_wkb"], pdf["bytes"], pdf["fmt"],
-            ):
+                pdf["bytes"], pdf["fmt"],
+            )):
                 m = meta[ds]
                 aff = m["affine"]
                 key = (zid, ds)
                 cached = geom_cache.get(key)
                 if cached is None:
+                    wkb = geoms.value[key] if wkbs is None else wkbs.iloc[i]
                     geom = _effective_geom(wkb, aff)
                     pgeom = K.geom_to_pixel(geom, aff)
                     win = K.bounds_window(G.geom_bounds(geom), aff)
@@ -373,6 +426,19 @@ def partial_kernel(
                     continue
                 rows["zone_id"].append(zid)
                 _append_partial(rows, p, compact_vc)
+                if user_partials:
+                    if zone_func is None:
+                        is_f = np.issubdtype(block.dtype, np.floating)
+                        bnan = (np.isnan(block) if is_f
+                                else np.zeros(block.shape, bool))
+                        masked = np.ma.MaskedArray(
+                            block, mask=((block == nd) | bnan | ~rv)
+                        )
+                    # (zone_func branch: `masked` is the post-transform
+                    # array, matching reference add_stats-after-zone_func)
+                    for uname, pfn in user_partials.items():
+                        st = np.asarray(pfn(masked), dtype=np.float64).ravel()
+                        rows[f"u_{uname}"].append(st.tolist())
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
@@ -406,7 +472,10 @@ def _append_partial(rows: dict, p: dict, compact_vc: bool) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _merged_schema(pctiles: list[str], want_vc: bool, with_band: bool = False) -> T.StructType:
+def _merged_schema(
+    pctiles: list[str], want_vc: bool, with_band: bool = False,
+    user_cols: tuple = (),
+) -> T.StructType:
     fields = [T.StructField("zone_id", T.LongType())]
     if with_band:
         fields.append(T.StructField("band", T.IntegerType()))
@@ -429,6 +498,9 @@ def _merged_schema(pctiles: list[str], want_vc: bool, with_band: bool = False) -
         fields.append(
             T.StructField("value_counts", T.MapType(T.DoubleType(), T.LongType()))
         )
+    # user stats stay u_-prefixed until the final projection so names can
+    # never collide with internal state columns (sum, sumsq, ...)
+    fields += [T.StructField(f"u_{n}", T.DoubleType()) for n in user_cols]
     return T.StructType(fields)
 
 
@@ -559,10 +631,17 @@ def merged_stats(
     salt: int | None = None,
     recompress_px: int | None = None,
     keys: tuple = ("zone_id",),
+    user_merges: dict | None = None,
 ) -> DataFrame:
     """Scalar AND holistic merges in ONE zone-keyed applyInPandas (A1-A15).
     ``keys`` extends the grouping (e.g. ("zone_id", "band") for the
     multiband one-pass path).
+
+    ``user_merges`` maps stat name → (merge_fn, finalize_fn): merge_fn
+    folds the stacked per-partial state vectors (k×len float64 ndarray)
+    into one state, finalize_fn turns the merged state into the output
+    scalar — the merge half of the scalable add_stats protocol. merge_fn
+    must be associative (it also runs in the salted pre-merge).
 
     One shuffle, and — unlike two separate aggregations consuming the same
     ``partials`` subtree — the upstream partial kernel (decode + rasterize)
@@ -579,13 +658,31 @@ def merged_stats(
     ≤ n/recompress_px).
     """
     with_band = "band" in keys
-    schema = _merged_schema(pctiles, want_vc, with_band=with_band)
+    user_merges = user_merges or {}
+    schema = _merged_schema(
+        pctiles, want_vc, with_band=with_band, user_cols=tuple(user_merges)
+    )
     qs = [K.get_percentile(p) for p in pctiles]
+
+    def _merge_user(pdf: pd.DataFrame, finalize: bool) -> dict:
+        out = {}
+        for uname, (mfn, ffn) in user_merges.items():
+            states = np.asarray(
+                [np.asarray(s, dtype=np.float64) for s in pdf[f"u_{uname}"]]
+            )
+            merged = np.asarray(mfn(states), dtype=np.float64).ravel()
+            if finalize:
+                v = ffn(merged)
+                out[f"u_{uname}"] = [None if v is None else float(v)]
+            else:
+                out[f"u_{uname}"] = [merged.tolist()]
+        return out
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         row: dict = {k: [pdf[k].iloc[0]] for k in keys}
         for k, v in _merge_scalars(pdf).items():
             row[k] = [v]
+        row.update(_merge_user(pdf, True))
         vals, cnts = _merge_vc(pdf)
         if vals.size == 0:
             for name in ("median", "majority", "minority", "unique"):
@@ -611,6 +708,7 @@ def merged_stats(
             row: dict = {k: [pdf[k].iloc[0]] for k in keys}
             for k, v in _merge_scalars(pdf).items():
                 row[k] = [v]
+            row.update(_merge_user(pdf, False))
             vals, cnts = _merge_vc(pdf)
             if recompress_px:
                 vals, cnts = K.sketch_weighted(vals, cnts, recompress_px)
@@ -623,7 +721,9 @@ def merged_stats(
             .groupBy(*keys, "_salt")
             .applyInPandas(
                 lambda pdf: pre(pdf.drop(columns=["_salt"])),
-                _partial_schema(False, with_band=with_band),
+                _partial_schema(
+                    False, with_band=with_band, user_cols=tuple(user_merges)
+                ),
             )
         )
     return partials.groupBy(*keys).applyInPandas(finalize, schema)
@@ -664,8 +764,18 @@ def zonal_stats_df(
     meta: dict | None = None,
     band: int = 1,
     bands: list | None = None,
+    add_stats: dict | None = None,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
+
+    ``add_stats`` here is the SCALABLE user-stat protocol (SURVEY §2.4
+    A18): ``{name: (partial_fn, merge_fn, finalize_fn)}``. partial_fn sees
+    each (zone, tile) partial's masked array and returns a fixed-length
+    float state vector; merge_fn folds stacked states associatively;
+    finalize_fn produces the output scalar. Unlike the gather tier
+    (operators/gather.py, which accepts plain callables but mosaics each
+    zone into ONE task), this path keeps user stats fully distributed —
+    the right surface for decomposable statistics at 100-TB scale.
 
     Parameters mirror gen_zonal_stats (reference main.py:57-156) where they
     exist; distribution knobs are new. ``zones`` needs (zone_id,
@@ -686,6 +796,21 @@ def zonal_stats_df(
     pctiles = [s for s in stats if s.startswith("percentile_")]
     want_holistic = run_count or "median" in stats or bool(pctiles)
     want_vc = bool(categorical)
+    add_stats = add_stats or {}
+    for uname, triple in add_stats.items():
+        if not (isinstance(triple, (tuple, list)) and len(triple) == 3
+                and all(callable(f) for f in triple)):
+            raise ValueError(
+                f"add_stats[{uname!r}] must be a (partial_fn, merge_fn, "
+                "finalize_fn) triple here — plain callables take the "
+                "gather tier (zonal_gather_df / gen_zonal_stats)"
+            )
+        if uname in K.VALID_STATS or uname in stats:
+            raise ValueError(f"add_stats name {uname!r} shadows a builtin stat")
+    if add_stats and holistic_mode == "exploded":
+        raise ValueError("add_stats is not supported with holistic_mode='exploded'")
+    if add_stats and bands is not None:
+        raise ValueError("bands and add_stats cannot be combined")
     need_missing = boundless and ("nodata" in stats or "nan" in stats)
     # sketch eligibility: majority/minority/unique/value_counts need the
     # EXACT value domain; median/percentiles alone can run on the bounded
@@ -721,11 +846,19 @@ def zonal_stats_df(
                 )
         zones = zones.withColumn("dataset", F.lit(dataset))
 
+    # broadcast regime: cells are KEY-ONLY (4 small columns) and geometry
+    # ships once per zone via a broadcast dict — never once per covering
+    # tile (the r2 verdict's 100×-scale memory risk). SMJ regime: the WKB
+    # rides the cells through the tile-key shuffle instead (one copy per
+    # cell through ONE exchange, vs a second payload-bearing shuffle to
+    # re-attach it by zone).
     cells = zone_cover_cells(
         zones, meta, clip_to_grid=not need_missing,
         max_cells_per_zone=max_cells_per_zone,
         raise_beyond_extent=not boundless,
+        with_geometry=not broadcast_zones,
     )
+    geoms_bc = broadcast_zone_geoms(zones) if broadcast_zones else None
 
     tile_side = tiles.select(
         "dataset", "tile_col", "tile_row", "bytes", "fmt"
@@ -742,7 +875,7 @@ def zonal_stats_df(
         # in the partial kernel). Mirrors the point operator's
         # inner-broadcast + reinstatement plan (operators/point.py:140-148).
         present = F.broadcast(cells).join(tile_side, keys, "inner")
-        present_keys = F.broadcast(cells.select("zone_id", *keys)).join(
+        present_keys = F.broadcast(cells).join(
             tiles.select(*keys), keys, "inner"
         )
         missing = (
@@ -779,6 +912,8 @@ def zonal_stats_df(
         sketch_px=sketch_px if use_sketch else None,
         compact_vc=compact,
         bands=bands,
+        geoms=geoms_bc,
+        user_partials={n: t[0] for n, t in add_stats.items()},
     )
     group_keys = ("zone_id",) if bands is None else ("zone_id", "band")
 
@@ -808,10 +943,10 @@ def zonal_stats_df(
             .join(_bc(scalars), list(group_keys), "left")
             .join(_bc(hol), list(group_keys), "left")
         )
-    elif want_holistic or want_vc:
-        # ONE zone-keyed merge for scalars + holistics: the partial kernel
-        # (decode + rasterize) is evaluated exactly once, not once per
-        # consuming aggregation
+    elif want_holistic or want_vc or add_stats:
+        # ONE zone-keyed merge for scalars + holistics (+ user states): the
+        # partial kernel (decode + rasterize) is evaluated exactly once,
+        # not once per consuming aggregation
         salt = holistic_salt
         recompress = None
         if use_sketch:
@@ -823,6 +958,7 @@ def zonal_stats_df(
         merged = merged_stats(
             partials, pctiles, want_vc, salt=salt, recompress_px=recompress,
             keys=group_keys,
+            user_merges={n: (t[1], t[2]) for n, t in add_stats.items()},
         )
         result = _band_base(zones, bands).join(
             _bc(merged), list(group_keys), "left"
@@ -879,4 +1015,6 @@ def zonal_stats_df(
             cols.append(F.when(nonempty, F.col("unique")).alias("unique"))
     if want_vc:
         cols.append(F.when(nonempty, F.col("value_counts")).alias("value_counts"))
+    for uname in add_stats:
+        cols.append(F.col(f"u_{uname}").alias(uname))
     return result.select(*cols)

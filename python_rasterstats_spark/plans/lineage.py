@@ -121,7 +121,8 @@ def checkpointed_zonal(
     partials → result. Killing the job between stages and rerunning skips
     completed work (SURVEY.md §4 step 7)."""
     from ..operators.zonal import (
-        collect_dataset_meta, partial_kernel, zone_cover_cells, zonal_stats_df,
+        broadcast_zone_geoms, collect_dataset_meta, partial_kernel,
+        zone_cover_cells, zonal_stats_df,
     )
     from ..sources.tables import load_corpus
     from .. import kernel as K
@@ -145,6 +146,7 @@ def checkpointed_zonal(
         return partial_kernel(
             joined, meta, all_touched=kw.get("all_touched", False),
             nodata_override=kw.get("nodata"), want_counts=want_holistic,
+            geoms=broadcast_zone_geoms(zones_ds),
         )
 
     partials = runner.stage("partials", build_partials)

@@ -20,7 +20,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.zonal import (
-    collect_dataset_meta, partial_kernel, zone_cover_cells,
+    broadcast_zone_geoms, collect_dataset_meta, partial_kernel,
+    zone_cover_cells,
 )
 
 
@@ -89,6 +90,7 @@ def incremental_zonal(
     availableNow batch-catch-up semantics)."""
     meta = collect_dataset_meta(datasets)
     cells = zone_cover_cells(zones, meta, clip_to_grid=True)
+    geoms_bc = broadcast_zone_geoms(zones)
 
     tiles_schema = (
         "image_id string, bytes binary, w int, h int, fmt string, "
@@ -109,7 +111,7 @@ def incremental_zonal(
         )
         new_partials = partial_kernel(
             joined, meta, all_touched=all_touched, nodata_override=nodata,
-            want_counts=True,
+            want_counts=True, geoms=geoms_bc,
         )
         sp = batch_df.sparkSession
         state_path = os.path.join(state_dir, "partials")

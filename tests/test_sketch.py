@@ -65,7 +65,7 @@ def test_partial_sketch_bounds_state_size(corpus):
     the property that bounds the holistic shuffle at 100× scale."""
     tiles, zones, datasets = corpus
     from python_rasterstats_spark.operators.zonal import (
-        collect_dataset_meta, zone_cover_cells,
+        broadcast_zone_geoms, collect_dataset_meta, zone_cover_cells,
     )
 
     meta = collect_dataset_meta(datasets)
@@ -73,19 +73,21 @@ def test_partial_sketch_bounds_state_size(corpus):
         "dataset", F.lit("slope_hd")
     )
     cells = zone_cover_cells(z, meta, clip_to_grid=True)
+    geoms_bc = broadcast_zone_geoms(z)
     joined = F.broadcast(cells).join(
         tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt"),
         ["dataset", "tile_col", "tile_row"], "inner",
     )
     parts = partial_kernel(
         joined, meta, all_touched=False, nodata_override=None,
-        want_counts=True, sketch_px=256,
+        want_counts=True, sketch_px=256, geoms=geoms_bc,
     )
     mx = parts.agg(F.max(F.size("vc_vals"))).collect()[0][0]
     assert mx <= 256
     # and without sketching the same partials exceed that (full 32² tiles)
     exact = partial_kernel(
-        joined, meta, all_touched=False, nodata_override=None, want_counts=True,
+        joined, meta, all_touched=False, nodata_override=None,
+        want_counts=True, geoms=geoms_bc,
     )
     assert exact.agg(F.max(F.size("vc_vals"))).collect()[0][0] > 256
 
