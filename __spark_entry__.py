@@ -471,6 +471,96 @@ def q_zonal_topk(spark, sf_dir):
     )
 
 
+def q_zonal_smj(spark, sf_dir):
+    """SMJ-regime gate (r3): the zone set is declared too large to
+    broadcast/collect (broadcast_zones=False), so cover cells carry their
+    WKB through the tile-key shuffle and the join falls back to
+    shuffle-based strategies. Same answer as the broadcast plan — the
+    oracle is shared with zonal_default."""
+    out = _zonal(spark, "polygons", "slope", broadcast_zones=False)
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def q_zonal_addstats_scalable(spark, sf_dir):
+    """Scalable add_stats protocol (SURVEY §2.4 A18): a user sum-of-squares
+    stat as a (partial, merge, finalize) triple running on the distributed
+    partial/merge path — no per-zone mosaic task."""
+    import numpy as np
+
+    sumsq = (
+        lambda m: [float(
+            (np.asarray(m.compressed(), dtype=np.float64) ** 2).sum()
+        )],
+        lambda states: states.sum(axis=0),
+        lambda s: float(s[0]),
+    )
+    out = _zonal(
+        spark, "polygons", "slope", stats=["count"],
+        add_stats={"sumsq": sumsq},
+    )
+    return out.select(
+        "zone_id", F.col("count").alias("cnt"),
+        F.round("sumsq", 6).alias("sumsq_r"),
+    )
+
+
+def q_cli_zonalstats(spark, sf_dir):
+    """CLI surface gate (§2.9): run `zonalstats --sequence` IN-PROCESS over
+    the fixture corpus, parse the emitted GeoJSON-sequence lines back into
+    rows. Closes the last pytest-only §2 surface: the full CLI pipeline
+    (feature parsing → engine → JSON sink) is now oracle-gated."""
+    import contextlib
+    import io
+    import json
+    import tempfile
+
+    from python_rasterstats_spark import geom as G
+
+    from python_rasterstats_spark import cli
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    feats = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"idx": int(r["zone_id"])},
+             "geometry": G.wkb_loads(bytes(r["geometry_wkb"]))}
+            for r in zones.filter(F.col("collection") == "polygons")
+                          .orderBy("zone_id").collect()
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".geojson", delete=False) as f:
+        json.dump(feats, f)
+        path = f.name
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "zonalstats", path, "--corpus", FIX, "--dataset", "slope",
+            "--stats", "count min max mean", "--sequence",
+        ])
+    os.unlink(path)
+    assert rc == 0
+    rows = []
+    for i, line in enumerate(l for l in buf.getvalue().splitlines() if l):
+        props = json.loads(line)["properties"]
+        rows.append((i, int(props["_count"]), float(props["_min"]),
+                     float(props["_max"]), float(props["_mean"])))
+    df = spark.createDataFrame(
+        rows, "zone_id long, cnt long, min double, max double, mean double"
+    )
+    return df.select(
+        "zone_id", "cnt",
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
 def q_doc_dedup_exact(spark, sf_dir):
     from python_rasterstats_spark.functions.dedup import exact_dups
 
@@ -648,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "zonal_topk": q_zonal_topk,
+        "zonal_smj": q_zonal_smj,
+        "zonal_addstats_scalable": q_zonal_addstats_scalable,
+        "cli_zonalstats": q_cli_zonalstats,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_keep": q_doc_dedup_keep,
         "doc_token_stats": q_doc_token_stats,
@@ -750,6 +843,18 @@ SELECT v.zone_id,
        round(quantile_cont(v.value, 0.90), 6) AS p90_r
 FROM v JOIN maj USING (zone_id) JOIN mino USING (zone_id) JOIN nd USING (zone_id)
 GROUP BY v.zone_id
+"""
+
+    # same zones/dataset/valid-pixel set as zonal_default: the SMJ-regime
+    # run and the CLI run must produce the broadcast plan's exact answer
+    sql["zonal_smj"] = sql["zonal_default"]
+    sql["cli_zonalstats"] = sql["zonal_default"]
+
+    sql["zonal_addstats_scalable"] = _valid_join("'polygons_slope_default'") + """
+SELECT zone_id,
+       count(value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan) AS cnt,
+       round(sum(value * value) FILTER (WHERE NOT bad_nodata AND NOT bad_nan), 6) AS sumsq_r
+FROM j GROUP BY zone_id
 """
 
     sql["zonal_all_touched"] = _valid_join("'polygons_slope_touched'") + """

@@ -53,14 +53,14 @@ def make_spark(cpus: int, corpus_dir: str | None = None, split_cpus: int | None 
     return spark
 
 
-def run_zonal(spark, corpus_dir, stats, tables=None, zone_limit=None):
+def run_zonal(spark, corpus_dir, stats, tables=None, zone_limit=None, **kw):
     from python_rasterstats_spark.operators.zonal import zonal_stats_df
     from python_rasterstats_spark.sources.tables import load_corpus
 
     tiles, zones, datasets = tables or load_corpus(spark, corpus_dir)
     if zone_limit:
         zones = zones.limit(zone_limit)
-    out = zonal_stats_df(zones, tiles, datasets, dataset="bench", stats=stats)
+    out = zonal_stats_df(zones, tiles, datasets, dataset="bench", stats=stats, **kw)
     return out.agg({"count": "sum"}).collect()[0][0]
 
 
@@ -121,6 +121,14 @@ def main():
             "count min max mean sum std median majority minority unique range "
             "percentile_25 percentile_90".split(),
             tables,
+        )
+    )
+    # SMJ regime: zone set declared too large to broadcast — cover cells
+    # (with WKB) shuffle on the tile key instead
+    queries["zonal_smj"], _ = timed_min(
+        lambda: run_zonal(
+            spark, corpus_dir, ["count", "min", "max", "mean"], tables,
+            broadcast_zones=False,
         )
     )
 
@@ -197,8 +205,21 @@ def main():
                 sec, _ = timed(lambda: run_zonal(s, sc_dir, stats, tables))
                 runs[n] = min(runs[n], sec)
                 s.stop()
+        # scaling-corpus SMJ-regime row (broadcast_zones=False) at the top
+        # parallelism level, min-of-2
+        s = make_spark(max(levels), sc_dir, split_cpus=max(levels))
+        sc_tables = load_corpus(s, sc_dir)
+        warm(s, max(levels))
+        run_zonal(s, sc_dir, stats, sc_tables, zone_limit=16,
+                  broadcast_zones=False)  # warm
+        smj_sec, _ = timed_min(
+            lambda: run_zonal(s, sc_dir, stats, sc_tables,
+                              broadcast_zones=False)
+        )
+        s.stop()
         tp = {n: sc_meta["pairs"] / sec for n, sec in runs.items()}
         out["scaling"] = {
+            f"smj_local{max(levels)}_sec": round(smj_sec, 3),
             "corpus": {k: sc_meta[k] for k in ("tiles", "zones", "pairs")},
             **{f"local[{n}]_sec": round(runs[n], 3) for n in levels},
             **{f"pairs_per_sec_n{n}": round(tp[n], 1) for n in levels},

@@ -108,6 +108,129 @@ class CheckpointRunner:
         return out
 
 
+class BucketAbort(RuntimeError):
+    """Raised by the fault-injection hook in stage_bucketed tests."""
+
+
+def stage_bucketed(
+    runner: CheckpointRunner,
+    name: str,
+    build,
+    *,
+    buckets: int,
+    fail_after: int | None = None,
+) -> DataFrame:
+    """Bucket-grained checkpointing: ``build(b)`` produces bucket ``b``'s
+    slice of the stage; each bucket commits independently (its parquet
+    dir's _SUCCESS marker IS the commit — a killed write leaves none and
+    is cleanly recomputed by mode='overwrite'). A restarted run executes
+    ONLY the missing buckets (SURVEY §4 step 7: "restart skips completed
+    partitions"). On a warehouse this is one Iceberg snapshot per bucket
+    of the pmod(zone_id, buckets) partition transform — the same state
+    layout streaming/incremental.py uses for its micro-batch folds.
+
+    ``fail_after`` aborts after that many bucket commits (test hook for
+    the kill-and-resume contract)."""
+    sdir = runner._stage_dir(name)
+    os.makedirs(sdir, exist_ok=True)
+    done = 0
+    for b in range(buckets):
+        bdir = os.path.join(sdir, f"bucket={b}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            runner._append_metrics(
+                {"run_id": runner.run_id, "stage": name, "bucket": b,
+                 "event": "skipped", "ts": time.time()}
+            )
+            continue
+        if fail_after is not None and done >= fail_after:
+            raise BucketAbort(
+                f"injected failure after {done} bucket commits"
+            )
+        t0 = time.perf_counter()
+        df = build(b)
+        df.write.mode("overwrite").parquet(bdir)
+        done += 1
+        runner._append_metrics(
+            {"run_id": runner.run_id, "stage": name, "bucket": b,
+             "event": "committed", "ts": time.time(),
+             "wall_sec": round(time.perf_counter() - t0, 3)}
+        )
+    return runner.spark.read.parquet(sdir).drop("bucket")
+
+
+def checkpointed_zonal_bucketed(
+    spark: SparkSession,
+    corpus_dir: str,
+    base_dir: str,
+    *,
+    dataset: str,
+    stats=None,
+    buckets: int = 8,
+    fail_after: int | None = None,
+    **kw,
+):
+    """Batch zonal job with BUCKET-grained checkpoint/resume: the partial
+    kernel runs one zone-id bucket at a time (pmod(zone_id, buckets)),
+    each bucket's partials commit atomically, and a restart recomputes
+    only the buckets that never committed — kill it anywhere and rerun;
+    the final merge sees exactly one copy of every partial either way."""
+    from ..operators.zonal import (
+        broadcast_zone_geoms, collect_dataset_meta, merged_stats,
+        partial_kernel, zone_cover_cells,
+    )
+    from ..sources.tables import load_corpus
+    from .. import kernel as K
+
+    tiles, zones, datasets = load_corpus(spark, corpus_dir)
+    runner = CheckpointRunner(spark, base_dir)
+    meta = collect_dataset_meta(datasets)
+    stats_list, run_count = K.check_stats(stats, False)
+    pctiles = [s for s in stats_list if s.startswith("percentile_")]
+    want_holistic = run_count or "median" in stats_list or bool(pctiles)
+
+    zones_ds = zones.withColumn("dataset", F.lit(dataset))
+    tile_side = tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt")
+
+    def build_bucket(b: int):
+        zb = zones_ds.filter(F.pmod(F.col("zone_id"), F.lit(buckets)) == b)
+        cells = zone_cover_cells(zb, meta, clip_to_grid=True)
+        joined = F.broadcast(cells).join(
+            tile_side, ["dataset", "tile_col", "tile_row"]
+        )
+        return partial_kernel(
+            joined, meta, all_touched=kw.get("all_touched", False),
+            nodata_override=kw.get("nodata"), want_counts=want_holistic,
+            geoms=broadcast_zone_geoms(zb),
+        )
+
+    partials = stage_bucketed(
+        runner, "partials", build_bucket, buckets=buckets,
+        fail_after=fail_after,
+    )
+
+    def build_result():
+        merged = merged_stats(partials, pctiles, False)
+        result = zones.select("zone_id").join(merged, "zone_id", "left")
+        cnt = F.coalesce(F.col("count"), F.lit(0))
+        cols = [F.col("zone_id")]
+        total = F.coalesce(F.col("sum_i").cast("double"), F.col("sum"))
+        for s in stats_list:
+            if s == "count":
+                cols.append(cnt.alias("count"))
+            elif s in ("min", "max", "median"):
+                cols.append(F.when(cnt > 0, F.col(s)).alias(s))
+            elif s.startswith("percentile_"):
+                cols.append(F.when(cnt > 0, F.col(f"`{s}`")).alias(s))
+            elif s == "sum":
+                cols.append(F.when(cnt > 0, total).alias("sum"))
+            elif s == "mean":
+                cols.append(F.when(cnt > 0, total / cnt).alias("mean"))
+        return result.select(*cols)
+
+    final = runner.stage("result", build_result)
+    return final, runner
+
+
 def checkpointed_zonal(
     spark: SparkSession,
     corpus_dir: str,
