@@ -7,11 +7,14 @@ opaque ``bytes`` column tagged with ``fmt``. Formats:
 - ``png``  : real PNG (grayscale 16-bit, zlib/stdlib only — no PIL in this
              container). Float data is affinely quantized to uint16 with the
              scale stored in a tEXt chunk → lossy but PSNR ≫ 40 dB.
-- ``qnt8`` : deterministic 8-bit quantization stand-in for JPEG-class lossy
-             payloads. Real JPEG decode needs imaging libs absent from this
-             container; the Spark-side plumbing (schema, batching, PSNR gate)
-             is identical, only the codec body differs. Raises
-             NotImplementedError for actual JPEG magic bytes.
+- ``qnt8`` : deterministic 8-bit quantization (legacy lossy stand-in; kept
+             for existing corpora).
+- ``jpeg`` / ``jpg`` : REAL baseline-sequential JPEG (jpegcodec.py — ITU-T
+             T.81 from scratch on numpy+stdlib: markers, Annex-K tables,
+             Huffman entropy coding, 8×8 DCT). Grayscale/single-band;
+             float rasters carry an APP15 rescale sidecar. Decode sniffs
+             the payload magic, so corpora holding legacy qnt8 bytes under
+             a jpeg tag still decode.
 
 Everything here is executor-safe (stdlib + numpy only).
 """
@@ -142,12 +145,7 @@ def _qnt8_encode(arr: np.ndarray) -> bytes:
 
 
 def _qnt8_decode(data: bytes) -> np.ndarray:
-    if data[:3] == _JPEG_MAGIC:
-        raise NotImplementedError(
-            "real JPEG decode requires an imaging library not present in this "
-            "container; re-encode tiles as npy/png/qnt8"
-        )
-    assert data[:4] == _QNT8_MAGIC
+    assert data[:4] == _QNT8_MAGIC, "not a qnt8 payload"
     h, w, lo, scale = struct.unpack_from("<IIdd", data, 4)
     q = np.frombuffer(zlib.decompress(data[28:]), dtype=np.uint8).reshape(h, w)
     out = q.astype(np.float64) * scale + lo
@@ -190,8 +188,12 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         return _npy_encode(arr)
     if fmt == "png":
         return _png_encode(arr)
-    if fmt in ("qnt8", "jpeg", "jpg"):
+    if fmt == "qnt8":
         return _qnt8_encode(arr)
+    if fmt in ("jpeg", "jpg"):
+        from .jpegcodec import jpeg_encode
+
+        return jpeg_encode(arr)
     raise ValueError(f"unknown tile fmt {fmt!r}")
 
 
@@ -206,6 +208,11 @@ def decode_tile(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return _png_decode(data)
     if fmt in ("qnt8", "jpeg", "jpg"):
+        # magic sniff: real JPEG streams and legacy qnt8 payloads coexist
+        if data[:3] == _JPEG_MAGIC:
+            from .jpegcodec import jpeg_decode
+
+            return jpeg_decode(data)
         return _qnt8_decode(data)
     raise ValueError(f"unknown tile fmt {fmt!r}")
 

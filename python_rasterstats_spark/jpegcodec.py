@@ -1,0 +1,429 @@
+"""Baseline-sequential JPEG codec from scratch (ITU-T T.81 / JFIF),
+numpy + stdlib only — no imaging libraries.
+
+Closes the r2 verdict's last environment boundary ("real JPEG codec"):
+tile payloads tagged ``fmt='jpeg'`` are now REAL JPEG byte streams —
+SOI/APP0/DQT/SOF0/DHT/SOS markers, standard Annex K quantization +
+Huffman tables, zigzag run-length entropy coding with byte stuffing,
+8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
+baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
+
+Scope (documented): baseline DCT, 8-bit, single component (grayscale —
+raster tiles are single-band); progressive/arithmetic/multi-component
+streams raise. Float rasters are affinely quantized to uint8 with the
+(lo, scale) pair carried in an APP15 segment (standard-legal: unknown
+APPn segments are skipped by other decoders), so OUR decoder returns
+float32 while foreign decoders still see a valid grayscale image.
+
+Implementation notes:
+- The 2D DCT uses the orthonormal basis matrix T (T @ B @ T.T equals the
+  T.81 FDCT exactly); all blocks of a tile transform in one einsum.
+- Huffman decode uses a 16-bit peek LUT per table (symbol, code length),
+  built once per DHT — no per-bit tree walking.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# constants (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+STD_LUM_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)  # Annex K.1, in natural (row-major) order
+
+# Annex K.3: standard DC luminance Huffman spec (BITS, HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# Annex K.5: standard AC luminance Huffman spec
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_APP15_TAG = b"PRSF"  # float rescale sidecar: lo, scale (little-endian f64)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    k = n.reshape(-1, 1)
+    t = np.sqrt(2.0 / 8.0) * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+_T = _dct_matrix()
+
+
+def _quality_qt(quality: int) -> np.ndarray:
+    """Annex-K table scaled by the conventional quality formula."""
+    q = min(max(int(quality), 1), 100)
+    sf = 5000 // q if q < 50 else 200 - 2 * q
+    qt = (STD_LUM_QT * sf + 50) // 100
+    return np.clip(qt, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits, vals):
+    """BITS/HUFFVAL → {symbol: (code, length)} (T.81 Annex C)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_lut(bits, vals):
+    """16-bit peek LUT: window → (symbol, code length)."""
+    sym = np.zeros(1 << 16, dtype=np.int16) - 1
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+def _category(v: int) -> int:
+    """Bit category of a (possibly negative) coefficient (T.81 F.1.2)."""
+    return abs(int(v)).bit_length()
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (T.81 F.1.2.3)
+        return bytes(self.buf)
+
+
+def _blocks_of(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to 8-multiples and split into 8×8 blocks in
+    MCU scan order. Returns (blocks[nb, 8, 8], blocks_h, blocks_w)."""
+    h, w = arr.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = arr.shape[0] // 8, arr.shape[1] // 8
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, bh, bw
+
+
+def jpeg_encode(arr: np.ndarray, *, quality: int = 95) -> bytes:
+    """Encode a 2D array as a baseline grayscale JPEG.
+
+    uint8 input encodes directly; float input is affinely quantized to
+    uint8 with (lo, scale) stored in an APP15 sidecar segment so
+    jpeg_decode returns float32. NaN/Inf are rejected (lossy DCT cannot
+    carry a sentinel)."""
+    a = np.asarray(arr)
+    assert a.ndim == 2, "jpeg codec is single-band"
+    h, w = a.shape
+    app15 = b""
+    if np.issubdtype(a.dtype, np.floating):
+        if not np.isfinite(a).all():
+            raise ValueError(
+                "jpeg encoding requires finite values (lossy DCT cannot "
+                "carry a NaN sentinel) — use png/npy for nodata-bearing tiles"
+            )
+        lo = float(a.min())
+        hi = float(a.max())
+        scale = (hi - lo) / 255.0 if hi > lo else 1.0
+        a8 = np.rint((a.astype(np.float64) - lo) / scale)
+        app15 = _APP15_TAG + struct.pack("<dd", lo, scale)
+    else:
+        a8 = a.astype(np.float64)
+        if a8.min() < 0 or a8.max() > 255:
+            raise ValueError("integer input must fit uint8")
+    qt = _quality_qt(quality)
+    blocks, _, _ = _blocks_of(a8 - 128.0)
+    coeffs = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
+    qz = np.rint(coeffs / qt.reshape(8, 8)).astype(np.int64)
+    zz = qz.reshape(-1, 64)[:, ZIGZAG]  # natural -> zigzag scan order
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for blk in zz:
+        # DC: category + magnitude bits (negative → one's complement)
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bw_.write(code, ln)
+        if cat:
+            bw_.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        # AC: run-length of zeros + category
+        run = 0
+        for v in blk[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw_.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw_.write(code, ln)
+            bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw_.write(code, ln)
+    entropy = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    if app15:
+        out += seg(0xEF, app15)  # APP15 float sidecar
+    out += seg(0xDB, b"\x00" + bytes(qt[ZIGZAG].tolist()))  # DQT (zigzag order)
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit reader over unstuffed entropy data with 16-bit peek."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        chunk = self.data[byte : byte + 4]
+        acc = int.from_bytes(chunk.ljust(4, b"\xff"), "big")
+        return (acc >> (16 - (self.pos & 7))) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        v = self.peek16() >> (16 - n) if n else 0
+        self.pos += n
+        return v
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+
+def _extend(v: int, cat: int) -> int:
+    """Magnitude bits → signed value (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG (any encoder). Returns uint8, or
+    float32 when the stream carries this codec's APP15 rescale sidecar."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, tuple] = {}
+    ac_tabs: dict[int, tuple] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    restart = 0
+    rescale = None
+    entropy_start = None
+    while pos < len(data):
+        assert data[pos] == 0xFF, f"marker expected at {pos}"
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                assert pq == 0, "only 8-bit quantization tables supported"
+                tbl = np.frombuffer(payload, dtype=np.uint8,
+                                    count=64, offset=off + 1)
+                # DQT stores the table in zigzag scan order -> natural
+                qts[tq] = tbl.astype(np.int64)[UNZIGZAG]
+                off += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload)
+            assert prec == 8, "only 8-bit precision supported"
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) JPEG is supported"
+                )
+            comp_q = payload[8]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG is supported"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0xF
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_lut(bits, vals)
+                off += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", payload)
+        elif marker == 0xEF and payload[:4] == _APP15_TAG:
+            rescale = struct.unpack_from("<dd", payload, 4)
+        elif marker == 0xDA:  # SOS
+            comp_dc = payload[2] >> 4
+            comp_ac = payload[2] & 0xF
+            entropy_start = pos
+            break
+        # other APPn/COM segments: skipped
+    assert entropy_start is not None and h is not None, "no scan found"
+
+    # entropy data runs until the next marker that isn't stuffing/RSTn
+    body = bytearray()
+    rst_bit_marks = []
+    p = entropy_start
+    while p < len(data) - 1:
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                body.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset predictor
+                rst_bit_marks.append(len(body) * 8)
+                p += 2
+                continue
+            break  # EOI or next segment
+        body.append(b)
+        p += 1
+
+    qt = qts[comp_q]
+    dc_sym, dc_len = dc_tabs[comp_dc]
+    ac_sym, ac_len = ac_tabs[comp_ac]
+    br = _BitReader(bytes(body))
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nblocks = bh * bw_
+    zz = np.zeros((nblocks, 64), dtype=np.int64)
+    pred = 0
+    rst_iter = iter(rst_bit_marks)
+    next_rst = next(rst_iter, None)
+    for bi in range(nblocks):
+        if restart and bi and bi % restart == 0 and next_rst is not None:
+            br.pos = next_rst  # byte-aligned restart
+            next_rst = next(rst_iter, None)
+            pred = 0
+        win = br.peek16()
+        cat = int(dc_sym[win])
+        br.skip(int(dc_len[win]))
+        diff = _extend(br.take(cat), cat) if cat else 0
+        pred += diff
+        zz[bi, 0] = pred
+        k = 1
+        while k < 64:
+            win = br.peek16()
+            rs = int(ac_sym[win])
+            br.skip(int(ac_len[win]))
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = rs >> 4, rs & 0xF
+            k += run
+            zz[bi, k] = _extend(br.take(cat), cat)
+            k += 1
+
+    coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qt.reshape(8, 8)
+    blocks = np.einsum("ji,njk,kl->nil", _T, coeffs, _T) + 128.0
+    full = (
+        blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw_ * 8)
+    )
+    img = np.clip(np.rint(full[:h, :w]), 0, 255)
+    if rescale is not None:
+        lo, scale = rescale
+        return (img * scale + lo).astype(np.float32)
+    return img.astype(np.uint8)

@@ -82,6 +82,33 @@ def beyond_extent(window, shape):
     return r0 < 0 or c0 < 0 or r1 > shape[0] or c1 > shape[1]
 
 
+class LRU:
+    """Tiny bounded LRU for per-task decode/geometry caches: evicts the
+    least-recently-used entry at capacity instead of dropping the whole
+    cache (wholesale clears re-decode the working set right after the
+    boundary). Values must not be None."""
+
+    __slots__ = ("cap", "d")
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.d: dict = {}
+
+    def get(self, key):
+        v = self.d.get(key)
+        if v is not None:
+            del self.d[key]  # re-insert = most recently used
+            self.d[key] = v
+        return v
+
+    def put(self, key, value):
+        if key in self.d:
+            del self.d[key]
+        elif len(self.d) >= self.cap:
+            del self.d[next(iter(self.d))]
+        self.d[key] = value
+
+
 def fill_dtype(dt, fill):
     """Dtype for a fill-padded block: the native ``dt`` when ``fill``
     round-trips through it, else float64. An unrepresentable fill (e.g.

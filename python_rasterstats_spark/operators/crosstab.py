@@ -101,7 +101,7 @@ def zonal_crosstab_df(
     tw, th = mv["tile_w"], mv["tile_h"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geom_cache: dict = {}
+        geom_cache = K.LRU(1024)
         for pdf in batches:
             rows = {name: [] for name in _XTAB_PARTIAL.fieldNames()}
             wkbs = pdf["geometry_wkb"] if geoms_bc is None else None
@@ -120,9 +120,7 @@ def zonal_crosstab_df(
                         K.geom_to_pixel(geom, aff),
                         K.bounds_window(G.geom_bounds(geom), aff),
                     )
-                    if len(geom_cache) > 1024:
-                        geom_cache.clear()
-                    geom_cache[zid] = cached
+                    geom_cache.put(zid, cached)
                 pgeom, ((wr0, wr1), (wc0, wc1)) = cached
                 rr0, rr1 = max(wr0, trn * th), min(wr1, (trn + 1) * th)
                 cc0, cc1 = max(wc0, tcn * tw), min(wc1, (tcn + 1) * tw)

@@ -156,7 +156,7 @@ def point_query_df(
     )
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode_cache: dict = {}
+        decode_cache = K.LRU(256)
         for pdf in batches:
             rows = {name: [] for name in _GATHER_SCHEMA.fieldNames()}
             for (
@@ -174,13 +174,11 @@ def point_query_df(
                     key = (ds, tc, tr)
                     block = decode_cache.get(key)
                     if block is None:
-                        if len(decode_cache) > 256:
-                            decode_cache.clear()
                         block = np.asarray(C.decode_tile(bytes(payload), fmt))
                         if block.ndim == 3:  # band select (S6, io.py:279)
                             block = block[band - 1]
                         block = block.astype(np.float64)
-                        decode_cache[key] = block
+                        decode_cache.put(key, block)
                 for pr, pc, pos in zip(prows, pcols, poss):
                     val = None
                     if block is not None:

@@ -321,8 +321,8 @@ def partial_kernel(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geom_cache: dict = {}
-        tile_cache: dict = {}
+        geom_cache = K.LRU(1024)
+        tile_cache = K.LRU(64)
         for pdf in batches:
             rows = {name: [] for name in schema.fieldNames()}
             wkbs = pdf["geometry_wkb"] if geoms is None else None
@@ -340,9 +340,7 @@ def partial_kernel(
                     pgeom = K.geom_to_pixel(geom, aff)
                     win = K.bounds_window(G.geom_bounds(geom), aff)
                     cached = (pgeom, win)
-                    if len(geom_cache) > 1024:
-                        geom_cache.clear()
-                    geom_cache[key] = cached
+                    geom_cache.put(key, cached)
                 pgeom, win = cached
                 (wr0, wr1), (wc0, wc1) = win
                 # region = zone window ∩ this cell's nominal extent
@@ -361,13 +359,11 @@ def partial_kernel(
                     tkey = (ds, tc, tr)
                     decoded = tile_cache.get(tkey)
                     if decoded is None:
-                        if len(tile_cache) > 64:
-                            tile_cache.clear()
                         # native dtype end-to-end; stats accumulate in f64
                         decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
                         if decoded.ndim == 3 and bands is None:
                             decoded = decoded[band - 1]  # band select (S6)
-                        tile_cache[tkey] = decoded
+                        tile_cache.put(tkey, decoded)
                 nd = nodata_override if nodata_override is not None else m["nodata"]
                 nd = -999.0 if nd is None else nd  # io.py:331-340 default
                 # int64-sum hint from the DATASET dtype: boundless pads may

@@ -1,0 +1,199 @@
+"""From-scratch baseline JPEG codec (jpegcodec.py, ITU-T T.81).
+
+Beyond roundtrips, the spec-invariant tests pin the bitstream to the
+PUBLISHED standard (Annex K code words, zigzag order, marker layout) so a
+consistent-but-flipped convention can't hide behind self-roundtripping —
+and the restart-marker test drives the decoder path our encoder doesn't
+emit, as a foreign encoder would.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from python_rasterstats_spark import codecs as C
+from python_rasterstats_spark.jpegcodec import (
+    AC_BITS, AC_VALS, DC_BITS, DC_VALS, ZIGZAG, _canonical_codes,
+    jpeg_decode, jpeg_encode,
+)
+
+
+def test_annex_k_codewords_match_published_tables():
+    """Published T.81 Annex K.3.1/K.3.2 code words: DC cat0 = '00' (2
+    bits), DC cat11 = 9 bits; AC EOB = '1010' (4 bits), AC ZRL =
+    '11111111001' (11 bits)."""
+    dc = _canonical_codes(DC_BITS, DC_VALS)
+    assert dc[0] == (0b00, 2)
+    assert dc[1] == (0b010, 3)
+    assert dc[5] == (0b110, 3)
+    assert dc[11][1] == 9
+    ac = _canonical_codes(AC_BITS, AC_VALS)
+    assert ac[0x00] == (0b1010, 4)  # EOB
+    assert ac[0x01] == (0b00, 2)
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+
+
+def test_zigzag_is_the_published_scan():
+    # spot-check the published scan order corners
+    assert ZIGZAG[0] == 0 and ZIGZAG[1] == 1 and ZIGZAG[2] == 8
+    assert ZIGZAG[3] == 16 and ZIGZAG[63] == 63
+    assert ZIGZAG[32] == 35 and ZIGZAG[33] == 42 and ZIGZAG[35] == 56
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_marker_layout():
+    a = np.full((16, 16), 99, dtype=np.uint8)
+    b = jpeg_encode(a, quality=80)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    # SOF0 present with height=width=16, 1 component, 8-bit
+    i = b.find(b"\xff\xc0")
+    assert i > 0
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", b, i + 4)
+    assert (prec, h, w, ncomp) == (8, 16, 16, 1)
+    assert b.find(b"JFIF\x00") > 0
+
+
+def test_roundtrip_psnr_and_dc_exactness():
+    assert (jpeg_decode(jpeg_encode(np.full((8, 8), 77, dtype=np.uint8)))
+            == 77).all()
+    y, x = np.mgrid[0:64, 0:96]
+    g = (128 + 60 * np.sin(x / 15.0) + 40 * np.cos(y / 9.0)).clip(0, 255)
+    g = g.astype(np.uint8)
+    for q, floor_db in ((50, 40.0), (90, 48.0), (95, 50.0)):
+        d = jpeg_decode(jpeg_encode(g, quality=q))
+        assert C.psnr(g.astype(float), d.astype(float)) >= floor_db
+    # hard case: uniform noise at q95 still meets the 40 dB rule
+    rng = np.random.default_rng(0)
+    n = rng.integers(0, 256, size=(40, 52)).astype(np.uint8)
+    d = jpeg_decode(jpeg_encode(n, quality=95))
+    assert C.psnr(n.astype(float), d.astype(float)) >= 40.0
+
+
+def test_float_sidecar_and_odd_shapes():
+    y, x = np.mgrid[0:37, 0:45]
+    f = (np.sin(x / 7.0) * 3 + y / 10.0).astype(np.float32)
+    out = jpeg_decode(jpeg_encode(f, quality=95))
+    assert out.dtype == np.float32 and out.shape == (37, 45)
+    assert C.psnr(f, out) >= 40.0
+    with pytest.raises(ValueError, match="finite"):
+        jpeg_encode(np.array([[1.0, np.nan]], dtype=np.float32))
+
+
+def test_progressive_and_color_rejected():
+    a = np.full((8, 8), 50, dtype=np.uint8)
+    b = bytearray(jpeg_encode(a))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_decode(bytes(b))
+    b = bytearray(jpeg_encode(a))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 9] = 3  # claim 3 components
+    with pytest.raises(NotImplementedError, match="single-component"):
+        jpeg_decode(bytes(b))
+
+
+def test_restart_marker_decode():
+    """Streams with DRI/RSTn (which OUR encoder never emits) decode
+    correctly: build one by re-encoding two tiles' entropy segments with a
+    restart between them — the path a foreign encoder exercises."""
+    rng = np.random.default_rng(3)
+    img = (rng.normal(scale=30, size=(8, 24)) + 128).clip(0, 255)
+    img = img.astype(np.uint8)
+    base = jpeg_encode(img, quality=85)
+    # split the entropy data at block boundaries by re-encoding per block
+    # with predictors reset, then stitch with RST0/RST1 between them
+    from python_rasterstats_spark import jpegcodec as J
+
+    qt = J._quality_qt(85)
+    blocks, _, _ = J._blocks_of(img.astype(np.float64) - 128.0)
+    dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+    segs = []
+    for blk in blocks:
+        coeff = J._T @ blk @ J._T.T
+        qz = np.rint(coeff / qt.reshape(8, 8)).astype(np.int64)
+        zz = qz.reshape(-1)[J.ZIGZAG]
+        bw = J._BitWriter()
+        dc = int(zz[0])
+        cat = J._category(dc)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(dc if dc > 0 else dc + (1 << cat) - 1, cat)
+        run = 0
+        for v in zz[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c0, l0 = ac_codes[0xF0]
+                bw.write(c0, l0)
+                run -= 16
+            cat = J._category(v)
+            c0, l0 = ac_codes[(run << 4) | cat]
+            bw.write(c0, l0)
+            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            c0, l0 = ac_codes[0x00]
+            bw.write(c0, l0)
+        segs.append(bw.flush())
+    sos_at = base.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", base, sos_at + 2)
+    head = base[: sos_at]
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    sos = base[sos_at : sos_at + 2 + sos_len]
+    body = bytearray()
+    for i, s in enumerate(segs):
+        if i:
+            body += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        body += s
+    stream = head + dri + sos + bytes(body) + b"\xff\xd9"
+    out = jpeg_decode(stream)
+    ref = jpeg_decode(base)
+    assert np.array_equal(out, ref)
+
+
+def test_zonal_over_real_jpeg_tiles(spark):
+    """End-to-end: a corpus whose payloads are REAL JPEG streams, zonal
+    stats vs the kernel oracle over the decoded mosaic (the decoded tiles
+    ARE the data — lossy-ness cancels out of the comparison)."""
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark import kernel as K
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.tables import (
+        ZONES_DDL, raster_to_tables,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    arr = (100 + 50 * np.sin(x / 5.0) * np.cos(y / 7.0)).astype(np.float32)
+    aff = (1.0, 0.0, 0.0, 0.0, -1.0, 32.0)
+    tiles, datasets = raster_to_tables(
+        spark, arr, aff, dataset="jp", nodata=-1.0, fmt="jpeg", tile=16
+    )
+    # oracle mosaic = decode the same jpeg tiles back
+    mosaic = np.zeros_like(arr)
+    for r in tiles.collect():
+        blk = C.decode_tile(bytes(r["bytes"]), "jpeg")
+        mosaic[r["tile_row"] * 16 : r["tile_row"] * 16 + 16,
+               r["tile_col"] * 16 : r["tile_col"] * 16 + 16] = blk
+    assert C.psnr(arr, mosaic) >= 40.0
+    zone = G.box(3.0, 3.0, 29.0, 29.0)
+    zones = spark.createDataFrame(
+        [{"zone_id": 0, "collection": "t", "geometry_wkb": G.wkb_dumps(zone),
+          "geom_type": "Polygon", "properties": {}}], schema=ZONES_DDL,
+    )
+    got = zonal_stats_df(
+        zones, tiles, datasets, dataset="jp",
+        stats=["count", "min", "max", "mean", "median"],
+    ).collect()[0].asDict()
+    want = K.zonal_stats_one(
+        zone, mosaic, aff, nodata=-1.0,
+        stats=["count", "min", "max", "mean", "median"],
+    )
+    assert got["count"] == want["count"]
+    for k in ("min", "max", "mean", "median"):
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k

@@ -494,8 +494,27 @@ def test_codec_qnt8_stub():
     arr = (rng.normal(size=(32, 32)) * 10 + 50).astype(np.float32)
     out = C.decode_tile(C.encode_tile(arr, "qnt8"), "qnt8")
     assert C.psnr(arr, out) >= 40.0
-    with pytest.raises(NotImplementedError):
+    # truncated/garbage JPEG streams error out instead of decoding junk
+    with pytest.raises(Exception):
         C.decode_tile(b"\xff\xd8\xff\xe0fakejpeg", "jpg")
+
+
+def test_codec_jpeg_real():
+    """fmt='jpeg' is a REAL baseline JPEG now (jpegcodec.py): decodable
+    roundtrip through the dispatch layer with PSNR over the 40 dB rule,
+    float sidecar preserved, and legacy qnt8 bytes under a jpeg tag still
+    sniffed correctly."""
+    rng = np.random.default_rng(9)
+    # spatially-correlated field (realistic raster, not white noise)
+    arr = np.cumsum(rng.normal(size=(32, 32)), axis=1).astype(np.float32) + 50
+    payload = C.encode_tile(arr, "jpeg")
+    assert payload[:3] == b"\xff\xd8\xff"  # genuine JPEG magic
+    out = C.decode_tile(payload, "jpeg")
+    assert out.dtype == np.float32
+    assert C.psnr(arr, out) >= 40.0
+    legacy = C.encode_tile(arr, "qnt8")
+    out2 = C.decode_tile(legacy, "jpg")  # magic sniff -> qnt8 path
+    assert C.psnr(arr, out2) >= 40.0
 
 
 def test_phash_deterministic():
