@@ -696,6 +696,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann(_emb(spark, sf_dir), nplanes=8, query_max_id=5, threshold=0.25)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted lists from a spherical k-means coarse quantizer,
+    per-query nprobe list probing + exact rescore). Gated at
+    nprobe == ncentroids, where IVF is exhaustive by construction — the
+    result must EQUAL brute force (shared oracle); recall at lower nprobe
+    is asserted in pytest."""
+    from python_rasterstats_spark.functions.similarity import ivf_ann
+
+    return ivf_ann(
+        _emb(spark, sf_dir), ncentroids=8, nprobe=8,
+        query_max_id=5, threshold=0.25,
+    )
+
+
 def q_tile_resize(spark, sf_dir):
     from python_rasterstats_spark.functions.multimodal import resize_tiles
 
@@ -763,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "tile_resize": q_tile_resize,
     }
 
@@ -1250,6 +1265,9 @@ c AS (SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
 SELECT query_id, neighbor_id, round(cos, 6) AS cos_r
 FROM c WHERE cos >= 0.25
 """
+
+    # IVF gated exhaustively (nprobe == ncentroids) -> identical to brute
+    sql["ann_ivf"] = sql["ann_cosine"]
 
     cos_ab = (
         _dot.format(x="a.va", y="b.embedding")

@@ -80,7 +80,7 @@ def timed(fn):
     return time.perf_counter() - t0, result
 
 
-def timed_min(fn, reps=2):
+def timed_min(fn, reps=3):
     """min-of-N timing: the driver's measurement window on this shared host
     shows minute-scale neighbor noise (BENCH.md) — the min is the least
     noise-contaminated estimate of the true cost."""

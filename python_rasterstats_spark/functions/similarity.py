@@ -158,6 +158,123 @@ def lsh_bits(vec_col, nplanes: int):
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    *,
+    ncentroids: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer: spherical k-means on a deterministic
+    sample, driver-side numpy (standard IVF practice — training data is
+    tiny next to the corpus; ASSIGNMENT is the distributed part). Returns
+    a unit-normalized (ncentroids × dim) ndarray."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003)), id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(ncentroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cents)):
+            pts = x[assign == j]
+            if len(pts):
+                cents[j] = pts.sum(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid — the
+    distributed half of IVF. Centroids are unit-normalized, so argmax of
+    the raw dot products IS argmax cosine; the k dot products evaluate as
+    JVM higher-order folds over broadcast literal arrays (no Python in the
+    per-row path)."""
+    cents = [
+        F.array(*[F.lit(float(v)) for v in c]) for c in centroids
+    ]
+    sims = F.array(*[_dot(F.col(vec_col), c) for c in cents])
+    list_id = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        list_id.alias("list_id"),
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    *,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    query_max_id: int = 5,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: vectors shard into ``ncentroids``
+    inverted lists (coarse k-means quantizer); each query probes only its
+    ``nprobe`` closest lists and exact-rescores the candidates — the
+    classic coverage/cost dial for ANN over 10^12 rows (one equi-join on
+    list_id; the corpus side never self-joins). ``nprobe == ncentroids``
+    degenerates to exhaustive search, so the gated query is EXACTLY the
+    brute-force result (shared oracle); recall at nprobe < ncentroids is
+    asserted separately (tests/test_functions)."""
+    import numpy as np
+
+    cents = ivf_centroids(
+        emb, ncentroids=ncentroids, id_col=id_col, vec_col=vec_col
+    )
+    lists = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    # probe lists for the (small, broadcast) query side: driver-side numpy
+    q_rows = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cents @ qv))[: min(nprobe, len(cents))]
+        for lid in order:
+            probes.append((int(r[0]), list(map(float, r[1])), int(lid)))
+    spark = emb.sparkSession
+    pdf = spark.createDataFrame(
+        probes, "query_id long, qv array<double>, list_id int"
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        _norm(F.col("qv")) * _norm(F.col("embedding"))
+    )
+    return (
+        F.broadcast(pdf)
+        .join(lists, ["list_id"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_r"))
+    )
+
+
 def lsh_ann(
     emb: DataFrame,
     *,

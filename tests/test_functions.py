@@ -221,3 +221,48 @@ def test_hamming_pairs_generic_pigeonhole(spark):
             if h <= 7:
                 want.add((i, j, h))
     assert got == want and want
+
+
+def test_ivf_ann_exhaustive_equals_bruteforce_and_partial_probe_recall(spark, emb):
+    """IVF with nprobe == ncentroids is exhaustive by construction — the
+    EXACT brute-force set (this is what the ann_ivf gate relies on);
+    probing fewer lists yields a subset with useful recall."""
+    from python_rasterstats_spark.functions.similarity import (
+        cosine_neighbors, ivf_ann,
+    )
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_r"]
+        for r in cosine_neighbors(emb, query_max_id=8, threshold=0.2).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cos_r"]
+        for r in ivf_ann(
+            emb, ncentroids=8, nprobe=8, query_max_id=8, threshold=0.2
+        ).collect()
+    }
+    assert full == brute
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(
+            emb, ncentroids=8, nprobe=2, query_max_id=8, threshold=0.2
+        ).collect()
+    }
+    assert part <= set(brute)
+    if brute:
+        assert len(part) / len(brute) > 0.2  # 2/8 lists probed
+
+
+def test_ivf_assignment_is_nearest_centroid(spark, emb):
+    import numpy as np
+
+    from python_rasterstats_spark.functions.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, ncentroids=6)
+    rows = ivf_assign(emb.limit(64), cents).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = cents @ v
+        assert int(r["list_id"]) == int(np.argmax(sims))
