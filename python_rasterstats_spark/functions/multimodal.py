@@ -89,14 +89,36 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _bilinear_resize(arr: np.ndarray, out: int) -> np.ndarray:
+    """Half-pixel-centered bilinear resample to out×out (the standard
+    image-resize sampling grid; edge-clamped). Pure numpy — separable
+    gather of the 4 neighbor grids + weighted blend."""
+    h, w = arr.shape
+    ys = (np.arange(out) + 0.5) * h / out - 0.5
+    xs = (np.arange(out) + 0.5) * w / out - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = arr[np.ix_(y0, x0)]
+    b = arr[np.ix_(y0, x1)]
+    c = arr[np.ix_(y1, x0)]
+    d = arr[np.ix_(y1, x1)]
+    return (
+        a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+        + c * wy * (1 - wx) + d * wy * wx
+    )
+
+
 def resize_tiles(tiles: DataFrame, *, out: int = 8, method: str = "blockmean") -> DataFrame:
-    """Downsample every tile to out×out via block means (a deterministic
-    stand-in for interpolated image resize; real Lanczos/bicubic needs
-    imaging libs absent here — the Spark plumbing is identical)."""
-    if method != "blockmean":
-        raise NotImplementedError(
-            "only 'blockmean' resize is available without imaging libraries"
-        )
+    """Downsample every tile to out×out. ``method='blockmean'`` (area
+    average over aligned blocks — the gated default) or ``'bilinear'``
+    (half-pixel-centered interpolated resample, _bilinear_resize). Both
+    pure numpy inside the Arrow batch; no imaging library."""
+    if method not in ("blockmean", "bilinear"):
+        raise ValueError("resize method must be 'blockmean' or 'bilinear'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,14 +129,17 @@ def resize_tiles(tiles: DataFrame, *, out: int = 8, method: str = "blockmean") -
                 arr = np.asarray(C.decode_tile(bytes(payload), fmt), dtype=np.float64)
                 if arr.ndim == 3:  # multiband: resize band 0
                     arr = arr[0]
-                h, w = arr.shape
-                ph, pw = (-h) % out, (-w) % out
-                if ph or pw:
-                    arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
-                hb, wb = arr.shape[0] // out, arr.shape[1] // out
-                small = arr.reshape(out, hb, out, wb).mean(axis=(1, 3)).astype(
-                    np.float32
-                )
+                if method == "bilinear":
+                    small = _bilinear_resize(arr, out).astype(np.float32)
+                else:
+                    h, w = arr.shape
+                    ph, pw = (-h) % out, (-w) % out
+                    if ph or pw:
+                        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+                    hb, wb = arr.shape[0] // out, arr.shape[1] // out
+                    small = arr.reshape(out, hb, out, wb).mean(axis=(1, 3)).astype(
+                        np.float32
+                    )
                 rows["image_id"].append(image_id)
                 rows["out_h"].append(out)
                 rows["out_w"].append(out)

@@ -29,6 +29,7 @@ from .zonal import (
     _effective_geom,
     broadcast_zone_geoms,
     collect_dataset_meta,
+    tile_prune_filter,
     zone_cover_cells,
 )
 
@@ -84,6 +85,16 @@ def zonal_crosstab_df(
         zdim, meta, clip_to_grid=True, with_geometry=not broadcast_zones
     ).drop("dataset")
     geoms_bc = broadcast_zone_geoms(zdim) if broadcast_zones else None
+    if geoms_bc is not None:
+        # scan-level pruning; the class raster shares the grid (validated
+        # above) so the value-dataset key ranges apply to both scans
+        pred = tile_prune_filter(geoms_bc.value, meta)
+        pred_c = tile_prune_filter(
+            {(z, class_dataset): w for (z, _), w in geoms_bc.value.items()},
+            meta,
+        )
+        if pred is not None:
+            tiles = tiles.filter(pred | pred_c)
     keys = ["tile_col", "tile_row"]
     tv = tiles.filter(F.col("dataset") == value_dataset).select(
         *keys, F.col("bytes").alias("vbytes"), F.col("fmt").alias("vfmt")

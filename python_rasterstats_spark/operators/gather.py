@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .. import codecs as C
 from .. import geom as G
 from .. import kernel as K
-from .zonal import collect_dataset_meta, zone_cover_cells
+from .zonal import collect_dataset_meta, tile_prune_filter, zone_cover_cells
 
 _MINI_RASTER_TYPE = T.StructType(
     [
@@ -92,11 +92,19 @@ def zonal_gather_df(
         zcols, meta, clip_to_grid=False, max_cells_per_zone=max_cells_per_zone,
         raise_beyond_extent=not boundless,
     )
+    zrows = zcols.collect()
     zinfo = {
         row["zone_id"]: (bytes(row["geometry_wkb"]), row["properties_json"])
-        for row in zcols.collect()
+        for row in zrows
     }
     zbc = zones.sparkSession.sparkContext.broadcast(zinfo)
+    # scan-level tile pruning from the already-collected zone dim
+    pred = tile_prune_filter(
+        {(r["zone_id"], r["dataset"]): bytes(r["geometry_wkb"]) for r in zrows},
+        meta,
+    )
+    if pred is not None:
+        tiles = tiles.filter(pred)
     # Inner broadcast join (a left join cannot broadcast its left side and
     # would shuffle the tile table — same plan rule as operators/zonal.py).
     # Zones whose tiles are ALL absent must still produce a count-0 row

@@ -130,6 +130,48 @@ def broadcast_zone_geoms(zones: DataFrame):
     return spark.sparkContext.broadcast(d)
 
 
+def tile_prune_filter(geoms: dict, meta: dict):
+    """Scan-level tile-pruning predicate from the collected zone dim: per
+    dataset, the UNION of all zone bbox tile-key ranges as a pushable
+    (dataset = d AND tile_col BETWEEN .. AND tile_row BETWEEN ..)
+    disjunction.
+
+    At 100 TB this is the difference between scanning the planet and
+    scanning the working set: the predicate reaches the parquet scan
+    (PushedFilters), so row groups — and with dataset/tile-key partition
+    or bucket layout, whole files — outside every zone's bbox are never
+    read. Correct by superset: any tile that could join a cover cell lies
+    inside its zone's bbox range. Returns None when nothing can be pruned
+    (no zones)."""
+    bounds: dict = {}
+    for (zid, ds), wkb in geoms.items():
+        m = meta.get(ds)
+        if m is None:
+            continue
+        aff = m["affine"]
+        geom = _effective_geom(wkb, aff)
+        (r0, r1), (c0, c1) = K.bounds_window(G.geom_bounds(geom), aff)
+        tr0, tr1 = math.floor(r0 / m["tile_h"]), math.floor((r1 - 1) / m["tile_h"])
+        tc0, tc1 = math.floor(c0 / m["tile_w"]), math.floor((c1 - 1) / m["tile_w"])
+        b = bounds.get(ds)
+        if b is None:
+            bounds[ds] = [tc0, tc1, tr0, tr1]
+        else:
+            b[0] = min(b[0], tc0)
+            b[1] = max(b[1], tc1)
+            b[2] = min(b[2], tr0)
+            b[3] = max(b[3], tr1)
+    pred = None
+    for ds, (tc0, tc1, tr0, tr1) in bounds.items():
+        p = (
+            (F.col("dataset") == ds)
+            & F.col("tile_col").between(tc0, tc1)
+            & F.col("tile_row").between(tr0, tr1)
+        )
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
 def zone_cover_cells(
     zones: DataFrame,
     meta: dict,
@@ -761,6 +803,7 @@ def zonal_stats_df(
     band: int = 1,
     bands: list | None = None,
     add_stats: dict | None = None,
+    prune_tiles: bool = True,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -855,6 +898,14 @@ def zonal_stats_df(
         with_geometry=not broadcast_zones,
     )
     geoms_bc = broadcast_zone_geoms(zones) if broadcast_zones else None
+    if broadcast_zones and prune_tiles:
+        # scan-level pruning: the zone dim is already on the driver, so a
+        # per-dataset bbox tile-key range predicate costs nothing to build
+        # and reaches the parquet scan as PushedFilters — the tile table
+        # reads only the zones' working set, not the whole corpus
+        pred = tile_prune_filter(geoms_bc.value, meta)
+        if pred is not None:
+            tiles = tiles.filter(pred)
 
     tile_side = tiles.select(
         "dataset", "tile_col", "tile_row", "bytes", "fmt"

@@ -266,3 +266,30 @@ def test_ivf_assignment_is_nearest_centroid(spark, emb):
         v = np.asarray(r["embedding"], dtype=np.float64)
         sims = cents @ v
         assert int(r["list_id"]) == int(np.argmax(sims))
+
+
+def test_bilinear_resize_exact_on_linear_ramp(spark, corpus):
+    """Bilinear interpolation reproduces a LINEAR field exactly at every
+    interior sample point — the analytic correctness check that needs no
+    imaging-library reference."""
+    import numpy as np
+
+    from python_rasterstats_spark.functions.multimodal import (
+        _bilinear_resize, resize_tiles,
+    )
+    from python_rasterstats_spark import codecs as C
+
+    y, x = np.mgrid[0:32, 0:32]
+    ramp = (3.0 * x - 2.0 * y + 7.0).astype(np.float64)
+    small = _bilinear_resize(ramp, 8)
+    ys = (np.arange(8) + 0.5) * 32 / 8 - 0.5
+    xs = (np.arange(8) + 0.5) * 32 / 8 - 0.5
+    want = 3.0 * xs[None, :] - 2.0 * ys[:, None] + 7.0
+    assert np.allclose(small, want, atol=1e-9)
+
+    # distributed path produces decodable payloads of the right shape
+    tiles, _, _ = corpus
+    out = resize_tiles(tiles.limit(4), out=8, method="bilinear").collect()
+    for r in out:
+        blk = C.decode_tile(bytes(r["bytes"]), "npy")
+        assert blk.shape == (8, 8) and np.isfinite(blk).all()

@@ -340,3 +340,39 @@ def test_gather_plan_no_tile_shuffle_and_no_tile_zones(corpus):
     assert len(rows) == 11  # 2 polygons + 9 no-overlap
     zero = [r for r in rows.values() if r["count"] == 0]
     assert len(zero) == 9 and all(r["mean"] is None for r in zero)
+
+
+def test_tile_prune_filter_reaches_scan(spark, corpus):
+    """Scan-level pruning (r3): a small zone over the corpus pushes its
+    bbox tile-key range into the parquet scan (PushedFilters), so row
+    groups outside the working set are never read — and the answer is
+    unchanged."""
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.plans.explain import physical_plan
+    from python_rasterstats_spark.sources.tables import ZONES_DDL
+
+    tiles, zones, datasets = corpus
+    aff = [r for r in datasets.collect() if r["dataset"] == "slope"][0]["affine"]
+    # one tiny zone in the top-left tile
+    w, n = aff[2] + aff[0] * 2, aff[5] + aff[4] * 2
+    e, s = aff[2] + aff[0] * 20, aff[5] + aff[4] * 20
+    zone = G.box(min(w, e), min(n, s), max(w, e), max(n, s))
+    z = spark.createDataFrame(
+        [{"zone_id": 0, "collection": "t", "geometry_wkb": G.wkb_dumps(zone),
+          "geom_type": "Polygon", "properties": {}}], schema=ZONES_DDL,
+    )
+    pruned = zonal_stats_df(z, tiles, datasets, dataset="slope",
+                            stats=["count", "mean"])
+    plan = physical_plan(pruned)
+    scan = [ln for ln in plan.splitlines()
+            if "Scan parquet" in ln or "FileScan parquet" in ln]
+    # (plan toString truncates long lines, so match the prefix)
+    assert any("PushedFilters" in ln and "tile_col" in ln
+               and "GreaterTha" in ln for ln in scan), scan
+    got = pruned.collect()[0].asDict()
+    unpruned = zonal_stats_df(
+        z, tiles, datasets, dataset="slope", stats=["count", "mean"],
+        prune_tiles=False,
+    ).collect()[0].asDict()
+    assert got == unpruned and got["count"] > 0
