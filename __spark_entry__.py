@@ -696,6 +696,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann(_emb(spark, sf_dir), nplanes=8, query_max_id=5, threshold=0.25)
 
 
+def q_tile_quadkey(spark, sf_dir):
+    """Explicit quadkey tiling scheme (north_star): Morton-interleaved
+    cell ids for every tile, parents as bit prefixes — computed with JVM
+    bit expressions, oracled by the same bit arithmetic in DuckDB."""
+    from python_rasterstats_spark.sources.tables import with_quadkey
+
+    tiles, _, _ = _fixture_corpus(spark)
+    out = with_quadkey(tiles, level=16)
+    return out.select(
+        "dataset", "tile_col", "tile_row", "quadkey",
+        F.shiftright("quadkey", 2).alias("parent_qk"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN (inverted lists from a spherical k-means coarse quantizer,
     per-query nprobe list probing + exact rescore). Gated at
@@ -778,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "tile_quadkey": q_tile_quadkey,
         "tile_resize": q_tile_resize,
     }
 
@@ -1311,6 +1326,19 @@ QUALIFY rank <= 5
         f"SELECT image_id, out_w, out_h, payload_md5 FROM "
         f"read_parquet('{hora}/tile_resize.parquet')"
     )
+    # Morton quadkey: the identical bit arithmetic, independently in SQL
+    qk_terms = " | ".join(
+        f"((({{c}} >> {k}) & 1) << {2 * k}) | "
+        f"((({{r}} >> {k}) & 1) << {2 * k + 1})"
+        for k in range(16)
+    )
+    qk_sql = qk_terms.format(c="tile_col", r="tile_row")
+    sql["tile_quadkey"] = f"""
+SELECT dataset, tile_col, tile_row,
+       CAST({qk_sql} AS BIGINT) AS quadkey,
+       CAST(({qk_sql}) >> 2 AS BIGINT) AS parent_qk
+FROM read_parquet('{FIX}/tiles.parquet')
+"""
     sql["doc_simhash_pairs"] = f"""
 WITH t AS (SELECT doc_id, simhash FROM read_parquet('{hora}/doc_simhash.parquet'))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

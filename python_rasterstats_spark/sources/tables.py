@@ -111,6 +111,35 @@ def raster_to_tables(
     return tiles, datasets
 
 
+def with_quadkey(
+    tiles: DataFrame,
+    *,
+    level: int = 16,
+    col: str = "tile_col",
+    row: str = "tile_row",
+    out: str = "quadkey",
+) -> DataFrame:
+    """Morton-interleaved quadkey column for the tile grid (JVM bit
+    expressions; bit-identical to kernel.quadkey). Parents are bit
+    prefixes (``qk >> 2``), so quadkey ranges align with spatial locality
+    — the Iceberg partition/sort-transform candidate for the tile key at
+    10^12 rows (a zone's cover cells become O(few) contiguous quadkey
+    ranges instead of a scatter of (col, row) points)."""
+    qk = None
+    for k in range(level):
+        cbit = F.shiftleft(
+            F.shiftright(F.col(col), k).bitwiseAND(F.lit(1)).cast("long"),
+            2 * k,
+        )
+        rbit = F.shiftleft(
+            F.shiftright(F.col(row), k).bitwiseAND(F.lit(1)).cast("long"),
+            2 * k + 1,
+        )
+        term = cbit.bitwiseOR(rbit)
+        qk = term if qk is None else qk.bitwiseOR(term)
+    return tiles.withColumn(out, qk)
+
+
 def write_bucketed_tiles(
     tiles: DataFrame, table_name: str, *, buckets: int = 32
 ) -> None:

@@ -376,3 +376,25 @@ def test_tile_prune_filter_reaches_scan(spark, corpus):
         prune_tiles=False,
     ).collect()[0].asDict()
     assert got == unpruned and got["count"] > 0
+
+
+def test_with_quadkey_matches_kernel(spark):
+    """JVM Morton quadkey is bit-identical to kernel.quadkey, and parents
+    are bit prefixes (the locality property Iceberg partition transforms
+    would exploit)."""
+    import random
+
+    from python_rasterstats_spark import kernel as K
+    from python_rasterstats_spark.sources.tables import with_quadkey
+
+    rng = random.Random(1)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "tile_col int, tile_row int")
+    got = with_quadkey(df, level=16).collect()
+    for r in got:
+        want = K.quadkey(r["tile_col"], r["tile_row"], level=16)
+        assert r["quadkey"] == want
+        assert K.quadkey_parent(r["quadkey"]) == K.quadkey(
+            r["tile_col"] // 2, r["tile_row"] // 2, level=15
+        )
