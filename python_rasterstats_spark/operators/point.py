@@ -69,6 +69,7 @@ def point_query_df(
     boundless: bool = True,
     band: int = 1,
     broadcast_vertices: bool = True,
+    prune_tiles: bool = True,
 ) -> DataFrame:
     """Raster values at each vertex of each zone geometry (J3 kNN join:
     k=1 nearest / k=4 bilinear grid neighbors).
@@ -86,6 +87,19 @@ def point_query_df(
             raise ValueError(f"dataset {dataset!r} not in datasets table")
         zones = zones.withColumn("dataset", F.lit(dataset))
     bilin = interpolate == "bilinear"
+    if prune_tiles and broadcast_vertices:
+        # scan-level pruning, same shape as zonal (the vertex set is
+        # broadcast-regime small, so collecting bboxes costs nothing);
+        # bilinear windows reach 1 px outside the bbox — widen by one tile
+        from .zonal import tile_prune_filter
+
+        gd = {
+            (r["zone_id"], r["dataset"]): bytes(r["geometry_wkb"])
+            for r in zones.select("zone_id", "dataset", "geometry_wkb").collect()
+        }
+        pred = tile_prune_filter(gd, meta, pad_tiles=1)
+        if pred is not None:
+            tiles = tiles.filter(pred)
 
     def explode_vertices(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -130,7 +130,7 @@ def broadcast_zone_geoms(zones: DataFrame):
     return spark.sparkContext.broadcast(d)
 
 
-def tile_prune_filter(geoms: dict, meta: dict):
+def tile_prune_filter(geoms: dict, meta: dict, *, pad_tiles: int = 0):
     """Scan-level tile-pruning predicate from the collected zone dim: per
     dataset, the UNION of all zone bbox tile-key ranges as a pushable
     (dataset = d AND tile_col BETWEEN .. AND tile_row BETWEEN ..)
@@ -141,8 +141,9 @@ def tile_prune_filter(geoms: dict, meta: dict):
     (PushedFilters), so row groups — and with dataset/tile-key partition
     or bucket layout, whole files — outside every zone's bbox are never
     read. Correct by superset: any tile that could join a cover cell lies
-    inside its zone's bbox range. Returns None when nothing can be pruned
-    (no zones)."""
+    inside its zone's bbox range. ``pad_tiles`` widens every range (the
+    point operator's 2×2 bilinear windows reach 1 px past the vertex
+    bbox). Returns None when nothing can be pruned (no zones)."""
     bounds: dict = {}
     for (zid, ds), wkb in geoms.items():
         m = meta.get(ds)
@@ -165,8 +166,8 @@ def tile_prune_filter(geoms: dict, meta: dict):
     for ds, (tc0, tc1, tr0, tr1) in bounds.items():
         p = (
             (F.col("dataset") == ds)
-            & F.col("tile_col").between(tc0, tc1)
-            & F.col("tile_row").between(tr0, tr1)
+            & F.col("tile_col").between(tc0 - pad_tiles, tc1 + pad_tiles)
+            & F.col("tile_row").between(tr0 - pad_tiles, tr1 + pad_tiles)
         )
         pred = p if pred is None else (pred | p)
     return pred
