@@ -8,12 +8,14 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline DCT, 8-bit, single component (grayscale —
-raster tiles are single-band); progressive/arithmetic/multi-component
-streams raise. Float rasters are affinely quantized to uint8 with the
-(lo, scale) pair carried in an APP15 segment (standard-legal: unknown
-APPn segments are skipped by other decoders), so OUR decoder returns
-float32 while foreign decoders still see a valid grayscale image.
+Scope (documented): baseline DCT, 8-bit, grayscale AND 4:4:4 color
+(YCbCr BT.601; color decode returns a (3, h, w) uint8 array — the
+corpus's multiband convention). Progressive/arithmetic streams and
+chroma-subsampled color (4:2:0/4:2:2) raise NotImplementedError. Float
+rasters are affinely quantized to uint8 with the (lo, scale) pair
+carried in an APP15 segment (standard-legal: unknown APPn segments are
+skipped by other decoders), so OUR decoder returns float32 while
+foreign decoders still see a valid grayscale image.
 
 Implementation notes:
 - The 2D DCT uses the orthonormal basis matrix T (T @ B @ T.T equals the
@@ -83,6 +85,17 @@ AC_VALS = [
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)  # Annex K.2, natural order
 
 _APP15_TAG = b"PRSF"  # float rescale sidecar: lo, scale (little-endian f64)
 
@@ -183,15 +196,62 @@ def _blocks_of(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, bh, bw
 
 
+def _quantized_zigzag(plane, qt):
+    """8x8-block DCT + quantize + zigzag for one level-shifted plane."""
+    blocks, _, _ = _blocks_of(plane - 128.0)
+    coeffs = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
+    qz = np.rint(coeffs / qt.reshape(8, 8)).astype(np.int64)
+    return qz.reshape(-1, 64)[:, ZIGZAG]  # natural -> zigzag scan order
+
+
+def _encode_block(bw_, blk, pred, dc_codes, ac_codes):
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw_.write(code, ln)
+    if cat:
+        bw_.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for v in blk[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw_.write(code, ln)
+        bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw_.write(code, ln)
+    return pred
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
 def jpeg_encode(arr: np.ndarray, *, quality: int = 95) -> bytes:
     """Encode a 2D array as a baseline grayscale JPEG.
 
     uint8 input encodes directly; float input is affinely quantized to
     uint8 with (lo, scale) stored in an APP15 sidecar segment so
     jpeg_decode returns float32. NaN/Inf are rejected (lossy DCT cannot
-    carry a sentinel)."""
+    carry a sentinel). 3-band uint8 input routes to jpeg_encode_color."""
     a = np.asarray(arr)
-    assert a.ndim == 2, "jpeg codec is single-band"
+    if a.ndim == 3:
+        return jpeg_encode_color(a, quality=quality)
+    assert a.ndim == 2, "jpeg codec takes one band or 3-band color"
     h, w = a.shape
     app15 = b""
     if np.issubdtype(a.dtype, np.floating):
@@ -210,59 +270,94 @@ def jpeg_encode(arr: np.ndarray, *, quality: int = 95) -> bytes:
         if a8.min() < 0 or a8.max() > 255:
             raise ValueError("integer input must fit uint8")
     qt = _quality_qt(quality)
-    blocks, _, _ = _blocks_of(a8 - 128.0)
-    coeffs = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
-    qz = np.rint(coeffs / qt.reshape(8, 8)).astype(np.int64)
-    zz = qz.reshape(-1, 64)[:, ZIGZAG]  # natural -> zigzag scan order
-
+    zz = _quantized_zigzag(a8, qt)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw_ = _BitWriter()
     pred = 0
     for blk in zz:
-        # DC: category + magnitude bits (negative → one's complement)
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        cat = _category(diff)
-        code, ln = dc_codes[cat]
-        bw_.write(code, ln)
-        if cat:
-            bw_.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-        # AC: run-length of zeros + category
-        run = 0
-        for v in blk[1:]:
-            v = int(v)
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw_.write(code, ln)
-                run -= 16
-            cat = _category(v)
-            code, ln = ac_codes[(run << 4) | cat]
-            bw_.write(code, ln)
-            bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
-            run = 0
-        if run:
-            code, ln = ac_codes[0x00]  # EOB
-            bw_.write(code, ln)
+        pred = _encode_block(bw_, blk, pred, dc_codes, ac_codes)
     entropy = bw_.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _seg(0xE0, _JFIF_APP0)
     if app15:
-        out += seg(0xEF, app15)  # APP15 float sidecar
-    out += seg(0xDB, b"\x00" + bytes(qt[ZIGZAG].tolist()))  # DQT (zigzag order)
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
-    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC
-    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        out += _seg(0xEF, app15)  # APP15 float sidecar
+    out += _seg(0xDB, b"\x00" + bytes(qt[ZIGZAG].tolist()))  # DQT (zigzag)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _rgb_to_ycbcr(rgb):
+    """(3, h, w) float64 RGB -> YCbCr (JFIF / ITU-R BT.601 full-range)."""
+    r, g, b = rgb
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr])
+
+
+def _ycbcr_to_rgb(ycc):
+    y, cb, cr = ycc
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b])
+
+
+def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95) -> bytes:
+    """Encode a 3-band uint8 image ((3, h, w) or (h, w, 3)) as a baseline
+    4:4:4 color JPEG: YCbCr (BT.601 full-range), Annex-K luminance +
+    chrominance quantization tables, interleaved Y/Cb/Cr MCUs with
+    per-component DC predictors. Huffman tables are shared across
+    components — legal (SOS just references table ids)."""
+    a = np.asarray(rgb)
+    if a.ndim == 3 and a.shape[-1] == 3 and a.shape[0] != 3:
+        a = np.transpose(a, (2, 0, 1))
+    assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
+    if np.issubdtype(a.dtype, np.floating):
+        raise ValueError("color jpeg takes uint8 bands")
+    h, w = a.shape[1:]
+    planes = _rgb_to_ycbcr(a.astype(np.float64))
+    q = min(max(int(quality), 1), 100)
+    sf = 5000 // q if q < 50 else 200 - 2 * q
+    qt_c = np.clip((STD_CHROMA_QT * sf + 50) // 100, 1, 255).astype(np.int64)
+    qts = [_quality_qt(quality), qt_c]
+    zzs = [
+        _quantized_zigzag(planes[0], qts[0]),
+        _quantized_zigzag(planes[1], qts[1]),
+        _quantized_zigzag(planes[2], qts[1]),
+    ]
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    bw_ = _BitWriter()
+    preds = [0, 0, 0]
+    for bi in range(zzs[0].shape[0]):  # 4:4:4 MCU = one block per component
+        for ci in range(3):
+            preds[ci] = _encode_block(
+                bw_, zzs[ci][bi], preds[ci], dc_codes, ac_codes
+            )
+    entropy = bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
+    out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 4:4:4 sampling
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    sos = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -295,16 +390,47 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
+    """Entropy-decode one block into zz_row; returns the new predictor."""
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    win = br.peek16()
+    cat = int(dc_sym[win])
+    br.skip(int(dc_len[win]))
+    diff = _extend(br.take(cat), cat) if cat else 0
+    pred += diff
+    zz_row[0] = pred
+    k = 1
+    while k < 64:
+        win = br.peek16()
+        rs = int(ac_sym[win])
+        br.skip(int(ac_len[win]))
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = rs >> 4, rs & 0xF
+        k += run
+        zz_row[k] = _extend(br.take(cat), cat)
+        k += 1
+    return pred
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG (any encoder). Returns uint8, or
-    float32 when the stream carries this codec's APP15 rescale sidecar."""
+    """Decode a baseline JPEG (any encoder): grayscale returns (h, w)
+    uint8 — or float32 when the stream carries this codec's APP15 rescale
+    sidecar; 4:4:4 color returns (3, h, w) uint8 RGB (the corpus's
+    multiband convention). Subsampled color (4:2:0/4:2:2), progressive
+    and arithmetic streams raise NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, tuple] = {}
     ac_tabs: dict[int, tuple] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list = []          # (component id, quant table id) in SOF order
+    scan_tabs: dict = {}      # component id -> (dc table id, ac table id)
     restart = 0
     rescale = None
     entropy_start = None
@@ -329,11 +455,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload)
             assert prec == 8, "only 8-bit precision supported"
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only single-component (grayscale) JPEG is supported"
+                    "only 1-component (grayscale) or 3-component JPEG "
+                    "is supported"
                 )
-            comp_q = payload[8]
+            for ci in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (no chroma subsampling) is supported"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -353,8 +486,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xEF and payload[:4] == _APP15_TAG:
             rescale = struct.unpack_from("<dd", payload, 4)
         elif marker == 0xDA:  # SOS
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0xF
+            ns = payload[0]
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci], payload[2 + 2 * ci]
+                scan_tabs[cs] = (tt >> 4, tt & 0xF)
             entropy_start = pos
             break
         # other APPn/COM segments: skipped
@@ -372,7 +507,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 body.append(0xFF)
                 p += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset predictor
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset predictors
                 rst_bit_marks.append(len(body) * 8)
                 p += 2
                 continue
@@ -380,50 +515,42 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         body.append(b)
         p += 1
 
-    qt = qts[comp_q]
-    dc_sym, dc_len = dc_tabs[comp_dc]
-    ac_sym, ac_len = ac_tabs[comp_ac]
     br = _BitReader(bytes(body))
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nblocks = bh * bw_
-    zz = np.zeros((nblocks, 64), dtype=np.int64)
-    pred = 0
+    nmcu = bh * bw_
+    ncomp = len(comps)
+    zz = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(ncomp)]
+    ctabs = [
+        (dc_tabs[scan_tabs[cid][0]], ac_tabs[scan_tabs[cid][1]])
+        for cid, _ in comps
+    ]
+    preds = [0] * ncomp
     rst_iter = iter(rst_bit_marks)
     next_rst = next(rst_iter, None)
-    for bi in range(nblocks):
+    for bi in range(nmcu):
         if restart and bi and bi % restart == 0 and next_rst is not None:
             br.pos = next_rst  # byte-aligned restart
             next_rst = next(rst_iter, None)
-            pred = 0
-        win = br.peek16()
-        cat = int(dc_sym[win])
-        br.skip(int(dc_len[win]))
-        diff = _extend(br.take(cat), cat) if cat else 0
-        pred += diff
-        zz[bi, 0] = pred
-        k = 1
-        while k < 64:
-            win = br.peek16()
-            rs = int(ac_sym[win])
-            br.skip(int(ac_len[win]))
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, cat = rs >> 4, rs & 0xF
-            k += run
-            zz[bi, k] = _extend(br.take(cat), cat)
-            k += 1
+            preds = [0] * ncomp
+        for ci in range(ncomp):  # interleaved: one block per component
+            preds[ci] = _decode_one_block(
+                br, zz[ci][bi], preds[ci], ctabs[ci][0], ctabs[ci][1]
+            )
 
-    coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qt.reshape(8, 8)
-    blocks = np.einsum("ji,njk,kl->nil", _T, coeffs, _T) + 128.0
-    full = (
-        blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw_ * 8)
-    )
-    img = np.clip(np.rint(full[:h, :w]), 0, 255)
-    if rescale is not None:
-        lo, scale = rescale
-        return (img * scale + lo).astype(np.float32)
-    return img.astype(np.uint8)
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        coeffs = zz[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qts[tq].reshape(8, 8)
+        blocks = np.einsum("ji,njk,kl->nil", _T, coeffs, _T) + 128.0
+        full = (
+            blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(full[:h, :w])
+    if ncomp == 1:
+        img = np.clip(np.rint(planes[0]), 0, 255)
+        if rescale is not None:
+            lo, scale = rescale
+            return (img * scale + lo).astype(np.float32)
+        return img.astype(np.uint8)
+    rgb = _ycbcr_to_rgb(np.stack(planes))
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -80,7 +80,7 @@ def test_float_sidecar_and_odd_shapes():
         jpeg_encode(np.array([[1.0, np.nan]], dtype=np.float32))
 
 
-def test_progressive_and_color_rejected():
+def test_progressive_and_cmyk_rejected():
     a = np.full((8, 8), 50, dtype=np.uint8)
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
@@ -89,8 +89,8 @@ def test_progressive_and_color_rejected():
         jpeg_decode(bytes(b))
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 9] = 3  # claim 3 components
-    with pytest.raises(NotImplementedError, match="single-component"):
+    b[i + 9] = 4  # claim 4 components (CMYK-style)
+    with pytest.raises(NotImplementedError, match="1-component|3-component"):
         jpeg_decode(bytes(b))
 
 
@@ -197,3 +197,43 @@ def test_zonal_over_real_jpeg_tiles(spark):
     assert got["count"] == want["count"]
     for k in ("min", "max", "mean", "median"):
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_color_444_roundtrip_and_structure():
+    """4:4:4 color: interleaved Y/Cb/Cr MCUs, two quantization tables,
+    BT.601 color transform; decode returns the corpus's (3, h, w)
+    multiband shape."""
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_color
+
+    y, x = np.mgrid[0:40, 0:56]
+    base = 128 + 60 * np.sin(x / 9.0) + 30 * np.cos(y / 7.0)
+    rgb = np.stack([base, base * 0.7 + 40, 255 - base]).clip(0, 255)
+    rgb = rgb.astype(np.uint8)
+    b = jpeg_encode_color(rgb, quality=92)
+    i = b.find(b"\xff\xc0")
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", b, i + 4)
+    assert (prec, h, w, ncomp) == (8, 40, 56, 3)
+    assert b.count(b"\xff\xdb") == 2  # two DQT segments (lum + chroma)
+    out = jpeg_decode(b)
+    assert out.shape == (3, 40, 56) and out.dtype == np.uint8
+    assert C.psnr(rgb.astype(float), out.astype(float)) >= 40.0
+    # (h, w, 3) layout routes through the same encoder
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(np.transpose(rgb, (1, 2, 0)), quality=92)),
+        out,
+    )
+    # gray pixels stay gray through the color transform (R==G==B)
+    g = np.repeat(base[None].clip(0, 255), 3, axis=0).astype(np.uint8)
+    og = jpeg_decode(jpeg_encode_color(g, quality=95)).astype(np.int64)
+    assert np.abs(og[0] - og[1]).max() <= 2 and np.abs(og[1] - og[2]).max() <= 2
+
+
+def test_chroma_subsampling_rejected():
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_color
+
+    rgb = np.zeros((3, 16, 16), dtype=np.uint8) + 100
+    b = bytearray(jpeg_encode_color(rgb))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 11] = 0x22  # claim 2x2 sampling for component 1
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        jpeg_decode(bytes(b))
