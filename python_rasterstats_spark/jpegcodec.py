@@ -8,10 +8,11 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline DCT, 8-bit, grayscale AND 4:4:4 color
-(YCbCr BT.601; color decode returns a (3, h, w) uint8 array — the
-corpus's multiband convention). Progressive/arithmetic streams and
-chroma-subsampled color (4:2:0/4:2:2) raise NotImplementedError. Float
+Scope (documented): baseline DCT, 8-bit, grayscale and color in 4:4:4
+or 4:2:0 (the layout virtually every camera/web encoder emits; YCbCr
+BT.601; color decode returns a (3, h, w) uint8 array — the corpus's
+multiband convention). Progressive/arithmetic streams and other
+sampling layouts (4:2:2/4:1:1) raise NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
 carried in an APP15 segment (standard-legal: unknown APPn segments are
 skipped by other decoders), so OUR decoder returns float32 while
@@ -310,38 +311,77 @@ def _ycbcr_to_rgb(ycc):
     return np.stack([r, g, b])
 
 
-def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95) -> bytes:
+def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
+                      sampling: str = "444") -> bytes:
     """Encode a 3-band uint8 image ((3, h, w) or (h, w, 3)) as a baseline
-    4:4:4 color JPEG: YCbCr (BT.601 full-range), Annex-K luminance +
-    chrominance quantization tables, interleaved Y/Cb/Cr MCUs with
-    per-component DC predictors. Huffman tables are shared across
-    components — legal (SOS just references table ids)."""
+    color JPEG: YCbCr (BT.601 full-range), Annex-K luminance + chrominance
+    quantization tables. ``sampling='444'`` interleaves one block per
+    component per MCU; ``'420'`` subsamples chroma 2×2 (block means) with
+    the standard 4-Y-blocks-per-MCU layout — the layout virtually every
+    camera/web encoder emits. Huffman tables are shared across components
+    — legal (SOS just references table ids)."""
     a = np.asarray(rgb)
     if a.ndim == 3 and a.shape[-1] == 3 and a.shape[0] != 3:
         a = np.transpose(a, (2, 0, 1))
     assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
     if np.issubdtype(a.dtype, np.floating):
         raise ValueError("color jpeg takes uint8 bands")
+    if sampling not in ("444", "420"):
+        raise ValueError("sampling must be '444' or '420'")
     h, w = a.shape[1:]
     planes = _rgb_to_ycbcr(a.astype(np.float64))
     q = min(max(int(quality), 1), 100)
     sf = 5000 // q if q < 50 else 200 - 2 * q
     qt_c = np.clip((STD_CHROMA_QT * sf + 50) // 100, 1, 255).astype(np.int64)
     qts = [_quality_qt(quality), qt_c]
-    zzs = [
-        _quantized_zigzag(planes[0], qts[0]),
-        _quantized_zigzag(planes[1], qts[1]),
-        _quantized_zigzag(planes[2], qts[1]),
-    ]
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw_ = _BitWriter()
-    preds = [0, 0, 0]
-    for bi in range(zzs[0].shape[0]):  # 4:4:4 MCU = one block per component
-        for ci in range(3):
-            preds[ci] = _encode_block(
-                bw_, zzs[ci][bi], preds[ci], dc_codes, ac_codes
-            )
+    if sampling == "444":
+        samps = ((1, 1), (1, 1), (1, 1))
+        zzs = [
+            _quantized_zigzag(planes[0], qts[0]),
+            _quantized_zigzag(planes[1], qts[1]),
+            _quantized_zigzag(planes[2], qts[1]),
+        ]
+        preds = [0, 0, 0]
+        for bi in range(zzs[0].shape[0]):
+            for ci in range(3):
+                preds[ci] = _encode_block(
+                    bw_, zzs[ci][bi], preds[ci], dc_codes, ac_codes
+                )
+    else:
+        samps = ((2, 2), (1, 1), (1, 1))
+        # pad Y to 16-multiples so MCU tiling is exact; chroma = 2x2 means
+        yp = planes[0]
+        ph, pw = (-h) % 16, (-w) % 16
+        if ph or pw:
+            yp = np.pad(yp, ((0, ph), (0, pw)), mode="edge")
+        ch2, cw2 = yp.shape[0] // 2, yp.shape[1] // 2
+        chroma = []
+        for pl in planes[1:]:
+            pc = np.pad(pl, ((0, ph), (0, pw)), mode="edge") if (ph or pw) else pl
+            chroma.append(pc.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)))
+        zz_y = _quantized_zigzag(yp, qts[0])
+        zz_c = [_quantized_zigzag(c, qts[1]) for c in chroma]
+        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
+        bw_y = mcux * 2  # Y blocks per row
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(2):
+                    for u in range(2):
+                        bi = (my * 2 + v) * bw_y + (mx * 2 + u)
+                        preds[0] = _encode_block(
+                            bw_, zz_y[bi], preds[0], dc_codes, ac_codes
+                        )
+                ci_b = my * mcux + mx
+                preds[1] = _encode_block(
+                    bw_, zz_c[0][ci_b], preds[1], dc_codes, ac_codes
+                )
+                preds[2] = _encode_block(
+                    bw_, zz_c[1][ci_b], preds[2], dc_codes, ac_codes
+                )
     entropy = bw_.flush()
 
     out = bytearray(b"\xff\xd8")
@@ -349,8 +389,8 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95) -> bytes:
     out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
     out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])  # 4:4:4 sampling
+    for (cid, tq), (sh, sv) in zip(((1, 0), (2, 1), (3, 1)), samps):
+        sof += bytes([cid, (sh << 4) | sv, tq])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
@@ -386,7 +426,7 @@ class _BitReader:
 
 
 def _extend(v: int, cat: int) -> int:
-    """Magnitude bits → signed value (T.81 F.2.2.1 EXTEND)."""
+    """Magnitude bits -> signed value (T.81 F.2.2.1 EXTEND)."""
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
@@ -462,11 +502,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 )
             for ci in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (no chroma subsampling) is supported"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0xF))
+            hs = [c[2] for c in comps]
+            vs = [c[3] for c in comps]
+            ok = all(x == 1 for x in hs + vs) or (
+                ncomp == 3 and (hs[0], vs[0]) == (2, 2)
+                and hs[1:] == [1, 1] and vs[1:] == [1, 1]
+            )
+            if not ok:
+                raise NotImplementedError(
+                    "only 4:4:4 and 4:2:0 sampling are supported"
+                )
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -516,36 +562,60 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         p += 1
 
     br = _BitReader(bytes(body))
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nmcu = bh * bw_
     ncomp = len(comps)
-    zz = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(ncomp)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = mcux * mcuy
+    # per-component block grids (MCU-aligned)
+    grids = [
+        np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
+        for c in comps
+    ]
     ctabs = [
-        (dc_tabs[scan_tabs[cid][0]], ac_tabs[scan_tabs[cid][1]])
-        for cid, _ in comps
+        (dc_tabs[scan_tabs[c[0]][0]], ac_tabs[scan_tabs[c[0]][1]])
+        for c in comps
     ]
     preds = [0] * ncomp
     rst_iter = iter(rst_bit_marks)
     next_rst = next(rst_iter, None)
-    for bi in range(nmcu):
-        if restart and bi and bi % restart == 0 and next_rst is not None:
+    for mi in range(nmcu):
+        if restart and mi and mi % restart == 0 and next_rst is not None:
             br.pos = next_rst  # byte-aligned restart
             next_rst = next(rst_iter, None)
             preds = [0] * ncomp
-        for ci in range(ncomp):  # interleaved: one block per component
-            preds[ci] = _decode_one_block(
-                br, zz[ci][bi], preds[ci], ctabs[ci][0], ctabs[ci][1]
-            )
+        my, mx = divmod(mi, mcux)
+        for ci, (cid, tq, sh, sv) in enumerate(comps):
+            bw_c = mcux * sh  # component blocks per row
+            for v in range(sv):
+                for u in range(sh):
+                    bi = (my * sv + v) * bw_c + (mx * sh + u)
+                    preds[ci] = _decode_one_block(
+                        br, grids[ci][bi], preds[ci],
+                        ctabs[ci][0], ctabs[ci][1],
+                    )
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
-        coeffs = zz[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qts[tq].reshape(8, 8)
+    for ci, (cid, tq, sh, sv) in enumerate(comps):
+        bh_c, bw_c = mcuy * sv, mcux * sh
+        coeffs = (
+            grids[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qts[tq].reshape(8, 8)
+        )
         blocks = np.einsum("ji,njk,kl->nil", _T, coeffs, _T) + 128.0
         full = (
-            blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
+            blocks.reshape(bh_c, bw_c, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
         )
-        planes.append(full[:h, :w])
+        # crop to the component's true extent, then upsample to full size
+        ch = (h * sv + vmax - 1) // vmax
+        cw = (w * sh + hmax - 1) // hmax
+        plane = full[:ch, :cw]
+        if sv != vmax or sh != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         img = np.clip(np.rint(planes[0]), 0, 255)
         if rescale is not None:

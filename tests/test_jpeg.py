@@ -228,12 +228,34 @@ def test_color_444_roundtrip_and_structure():
     assert np.abs(og[0] - og[1]).max() <= 2 and np.abs(og[1] - og[2]).max() <= 2
 
 
-def test_chroma_subsampling_rejected():
+def test_420_roundtrip_and_unsupported_sampling_rejected():
+    """4:2:0 — 4 Y blocks + subsampled Cb/Cr per MCU (what cameras/web
+    encoders emit): luma stays sharp (>=45 dB), chroma costs the known
+    subsampling penalty; 4:2:2-style layouts raise."""
     from python_rasterstats_spark.jpegcodec import jpeg_encode_color
 
-    rgb = np.zeros((3, 16, 16), dtype=np.uint8) + 100
-    b = bytearray(jpeg_encode_color(rgb))
-    i = bytes(b).find(b"\xff\xc0")
-    b[i + 11] = 0x22  # claim 2x2 sampling for component 1
-    with pytest.raises(NotImplementedError, match="4:4:4"):
-        jpeg_decode(bytes(b))
+    y, x = np.mgrid[0:40, 0:56]
+    base = 128 + 60 * np.sin(x / 9.0) + 30 * np.cos(y / 7.0)
+    rgb = np.stack([base, base * 0.7 + 40, 255 - base]).clip(0, 255)
+    rgb = rgb.astype(np.uint8)
+    b = jpeg_encode_color(rgb, quality=92, sampling="420")
+    i = b.find(b"\xff\xc0")
+    assert b[i + 4 + 7] == 0x22  # Y component advertises 2x2 sampling
+    out = jpeg_decode(b)
+    assert out.shape == (3, 40, 56)
+    assert C.psnr(rgb.astype(float), out.astype(float)) >= 33.0
+
+    def yplane(a):
+        return 0.299 * a[0] + 0.587 * a[1] + 0.114 * a[2]
+
+    assert C.psnr(yplane(rgb.astype(float)), yplane(out.astype(float))) >= 45.0
+    # odd sizes survive the 16x16 MCU tiling
+    o = rgb[:, :37, :45]
+    do = jpeg_decode(jpeg_encode_color(o, quality=92, sampling="420"))
+    assert do.shape == (3, 37, 45)
+    # non-4:2:0 subsampling layouts are rejected with a clear scope error
+    bb = bytearray(jpeg_encode_color(rgb, quality=92))
+    i = bytes(bb).find(b"\xff\xc0")
+    bb[i + 4 + 7] = 0x21  # claim 4:2:2 for Y
+    with pytest.raises(NotImplementedError, match="4:4:4 and 4:2:0"):
+        jpeg_decode(bytes(bb))
