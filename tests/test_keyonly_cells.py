@@ -149,3 +149,40 @@ def test_gather_and_crosstab_plans_key_only(spark, big_corpus):
     seg = block[valid & (cblock == 0)]
     assert rows[0.0]["count"] == seg.size
     assert rows[0.0]["sum"] == pytest.approx(float(seg.sum(dtype=np.float64)))
+
+
+def test_smj_regime_with_geometry_cells(spark, big_corpus):
+    """broadcast_zones=False carries WKB on the cells (the SMJ regime's
+    documented trade): crosstab and the boundless-nodata zonal left-join
+    path both produce the broadcast plan's exact answer."""
+    arr, zone, zones, tiles, datasets = big_corpus
+    cls = (arr // 25).astype(np.uint8)
+    tc, dc = raster_to_tables(
+        spark, cls, AFF, dataset="bigc2", nodata=255.0, tile=8
+    )
+    all_tiles = tiles.unionByName(tc)
+    all_ds = datasets.unionByName(dc)
+    kw = dict(value_dataset="big", class_dataset="bigc2",
+              stats=("count", "sum", "mean"))
+    a = sorted(map(tuple, zonal_crosstab_df(
+        zones, all_tiles, all_ds, **kw).collect()))
+    b = sorted(map(tuple, zonal_crosstab_df(
+        zones, all_tiles, all_ds, broadcast_zones=False, **kw).collect()))
+    assert a == b and len(a) > 0
+
+    # zonal SMJ + boundless nodata (plain left join; NULL payloads inline)
+    zbig = _dense_box(-20.0, -20.0, N + 20.0, N + 20.0)  # beyond extent
+    zdf = spark.createDataFrame(
+        [{"zone_id": 7, "collection": "t", "geometry_wkb": G.wkb_dumps(zbig),
+          "geom_type": "Polygon", "properties": {}}],
+        schema=zones.schema,
+    )
+    stats = ["count", "nodata", "mean"]
+    want = zonal_stats_df(
+        zdf, tiles, datasets, dataset="big", stats=stats
+    ).collect()[0].asDict()
+    got = zonal_stats_df(
+        zdf, tiles, datasets, dataset="big", stats=stats,
+        broadcast_zones=False,
+    ).collect()[0].asDict()
+    assert got == want and got["nodata"] > 0 and got["count"] > 0
