@@ -696,6 +696,20 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann(_emb(spark, sf_dir), nplanes=8, query_max_id=5, threshold=0.25)
 
 
+def q_doc_neardup_groups(spark, sf_dir):
+    """Near-dup GROUP materialization: connected components of the simhash
+    pair graph, each node labeled with its cluster's canonical keeper
+    (min doc_id) — the keep/drop decision a dedup pipeline actually needs.
+    Oracle: DuckDB recursive CTE over the same committed-simhash pair set
+    (an independent transitive-closure implementation)."""
+    from python_rasterstats_spark.functions.dedup import (
+        neardup_groups, simhash_pairs,
+    )
+
+    pairs = simhash_pairs(_docs(spark, sf_dir), bands=8, radius=3)
+    return neardup_groups(pairs)
+
+
 def q_tile_quadkey(spark, sf_dir):
     """Explicit quadkey tiling scheme (north_star): Morton-interleaved
     cell ids for every tile, parents as bit prefixes — computed with JVM
@@ -792,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "doc_neardup_groups": q_doc_neardup_groups,
         "tile_quadkey": q_tile_quadkey,
         "tile_resize": q_tile_resize,
     }
@@ -1345,6 +1360,23 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+    # connected components via recursive CTE — an independent transitive
+    # closure over the SAME pair set the simhash oracle defines
+    sql["doc_neardup_groups"] = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, simhash FROM read_parquet('{hora}/doc_simhash.parquet')),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e)
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+)
+SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper_id
+FROM reach GROUP BY n
 """
     return sql
 

@@ -472,6 +472,73 @@ def hamming_pairs(
     )
 
 
+def neardup_groups(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of a near-duplicate pair graph → the KEEP
+    decision: every node labeled with the smallest id reachable from it
+    (the canonical keeper of its dup cluster). This is the materialization
+    step after any pair producer (minhash/simhash/embedding LSH): pairs
+    alone don't tell a pipeline what to drop; components do.
+
+    Iterative min-label propagation over DataFrame joins: each round every
+    node takes min(own label, neighbors' labels); rounds needed = graph
+    diameter (dup clusters are star-like, so a handful). Each round is one
+    shuffle keyed by node id; the driver only evaluates the converged?
+    count. Deterministic; raises if max_iters rounds don't converge
+    (pathological chain longer than max_iters).
+
+    Returns (doc_id, keeper_id) for every node incident to ≥1 pair.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the loop lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("keeper_id")
+            )
+    raise RuntimeError(
+        f"neardup_groups did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters)"
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, *, bands: int = 8, radius: int = 3
 ) -> DataFrame:

@@ -123,3 +123,44 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
         sigs.limit(10), id_col="vid", sig_col="sig", max_bucket=20
     )
     assert hp_small.count() == 45  # under the cap: exact Hamming-ball set
+
+
+def test_neardup_groups_matches_union_find(spark):
+    """Min-label propagation == an independent union-find on random pair
+    graphs (incl. chains, which need several propagation rounds)."""
+    import random
+
+    from python_rasterstats_spark.functions.dedup import neardup_groups
+
+    rng = random.Random(9)
+    edges = [(i, i + 1) for i in range(20, 29)]  # a 10-node chain
+    edges += [(rng.randrange(100), rng.randrange(100)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    ).distinct()
+    got = {
+        r["doc_id"]: r["keeper_id"] for r in neardup_groups(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    # the keeper really is each component's minimum
+    comp: dict = {}
+    for n, k in want.items():
+        comp.setdefault(k, []).append(n)
+    for k, members in comp.items():
+        assert k == min(members)
