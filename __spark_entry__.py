@@ -1044,7 +1044,7 @@ FROM t WHERE prev IS NOT NULL AND bit_count(xor(phash, prev)) > 20
     sql["frame_sample"] = f"""
 SELECT dataset, frame_idx, image_id, caption, phash FROM (
   SELECT dataset, caption, phash, image_id,
-         CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS INT) AS frame_idx
+         CAST(row_number() OVER (PARTITION BY dataset ORDER BY tile_row, tile_col) - 1 AS BIGINT) AS frame_idx
   FROM read_parquet('{FIX}/tiles.parquet'))
 WHERE frame_idx % 4 = 0
 """

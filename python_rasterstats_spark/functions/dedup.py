@@ -83,7 +83,18 @@ def ngram_jaccard_candidates(
             Window.partitionBy("doc_id").orderBy("df", "shingle")
         ),
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # epsilon guard on the overlap bound: t*n in float64 can land one ulp
+    # ABOVE the integral product (0.07*100 = 7.000000000000001), which would
+    # push ceil one too high and shorten the prefix BELOW the lossless
+    # bound. ceil(x - 1e-9) restores the mathematical ceil for any t*n up
+    # to ~1e6 (ulp noise is ~1e-15 relative); when the 1e-9 nudge crosses a
+    # true integer boundary the prefix only LENGTHENS by one (extra
+    # candidates, never lost pairs).
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
     prefix = ranked.filter(F.col("rank") <= prefix_len).select(
         "doc_id", "block", "shingle"
     )

@@ -2,10 +2,12 @@
 
 The Spark-side plumbing (schema, Arrow batching, partition behavior) is
 real and tested; pixel work happens in ``mapInPandas`` over the corpus's
-``bytes``/``fmt`` columns using the in-repo codecs. Codecs for formats that
-require imaging libraries absent from this container (real JPEG) raise
-NotImplementedError at decode time (codecs._qnt8_decode) — the clearly
-marked stub boundary.
+``bytes``/``fmt`` columns using the in-repo codecs — including a real
+from-scratch baseline JPEG codec (jpegcodec.py: grayscale, 4:4:4 and
+4:2:0 color). The remaining NotImplementedError boundaries are the
+documented JPEG scope edges (progressive/arithmetic/4:2:2 streams) and
+video decode (no codec library in this container) — everything else
+decodes for real.
 """
 
 from __future__ import annotations
@@ -166,9 +168,11 @@ def _frame_index(tiles: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     ncols = tiles.groupBy("dataset").agg((F.max("tile_col") + 1).alias("_ntc"))
+    # stay in int64: row * ncols overflows int32 past ~2.1B frames, and
+    # billion-frame datasets are exactly this operator's pitch
     idx = (
         F.col("tile_row").cast("long") * F.col("_ntc") + F.col("tile_col")
-    ).cast("int")
+    ).cast("long")
     return (
         tiles.join(F.broadcast(ncols), "dataset")
         .withColumn("frame_idx", idx)

@@ -460,9 +460,9 @@ def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG (any encoder): grayscale returns (h, w)
     uint8 — or float32 when the stream carries this codec's APP15 rescale
-    sidecar; 4:4:4 color returns (3, h, w) uint8 RGB (the corpus's
-    multiband convention). Subsampled color (4:2:0/4:2:2), progressive
-    and arithmetic streams raise NotImplementedError."""
+    sidecar; 4:4:4 and 4:2:0 color return (3, h, w) uint8 RGB (the
+    corpus's multiband convention). 4:2:2/4:1:1 sampling, progressive and
+    arithmetic streams raise NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -476,9 +476,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     entropy_start = None
     while pos < len(data):
         assert data[pos] == 0xFF, f"marker expected at {pos}"
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker id — skip them (some encoders align segments this way)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # length-less standalone markers (TEM, stray RSTn) are legal
+            # between segments — skip the 2 marker bytes, no length field
+            pos += 2
+            continue
         (length,) = struct.unpack_from(">H", data, pos + 2)
         payload = data[pos + 4 : pos + 2 + length]
         pos += 2 + length
