@@ -80,15 +80,60 @@ def timed(fn):
     return time.perf_counter() - t0, result
 
 
-def timed_min(fn, reps=3):
-    """min-of-N timing: the driver's measurement window on this shared host
-    shows minute-scale neighbor noise (BENCH.md) — the min is the least
-    noise-contaminated estimate of the true cost."""
-    best, result = float("inf"), None
-    for _ in range(reps):
+# --- contention sentinel (r3 verdict 'Next round #3') ---------------------
+# The official r3 record captured a phantom 2× regression because the
+# driver's window was contended by a neighbor. Every timed query is now
+# bracketed by a fixed single-thread numpy burn: when the burn runs >20%
+# slower than its quiet-machine reference, the rep is re-run (bounded) and
+# the JSON carries a per-query `contended` flag, so a recorded number
+# always ships its own validity evidence.
+
+_BURN_X = None
+
+
+def _burn_once() -> float:
+    """Fixed ~0.3 s of single-thread numpy work; wall time tracks how
+    contended this core is right now."""
+    global _BURN_X
+    import numpy as np
+
+    if _BURN_X is None:
+        _BURN_X = np.arange(1_500_000, dtype="float64")
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(600):
+        s += float(np.dot(_BURN_X, _BURN_X))
+    assert s > 0
+    return time.perf_counter() - t0
+
+
+def burn_reference() -> float:
+    """Quiet-machine burn cost: min of 5 (the min is the least
+    contaminated estimate)."""
+    return min(_burn_once() for _ in range(5))
+
+
+def timed_clean(fn, burn_ref, reps=3, max_retries=2):
+    """min-of-N timing where each rep is bracketed by the burn sentinel.
+    A rep whose surrounding burns ran >20% over reference is discarded
+    and retried (up to ``max_retries`` extra attempts overall); if the
+    budget runs out the contaminated rep still counts, flagged. Returns
+    (best_sec, result, contended)."""
+    best, result, contended = float("inf"), None, False
+    retries = max_retries
+    rep = 0
+    while rep < reps:
+        b1 = _burn_once()
         sec, result = timed(fn)
+        b2 = _burn_once()
+        dirty = min(b1, b2) > 1.2 * burn_ref
+        if dirty and retries > 0:
+            retries -= 1
+            continue  # neighbor noise during this rep — measure again
+        contended = contended or dirty
         best = min(best, sec)
-    return best, result
+        rep += 1
+    return best, result, contended
 
 
 def main():
@@ -102,6 +147,14 @@ def main():
     warm(spark, CPUS)
 
     queries: dict[str, float] = {}
+    contended: dict[str, bool] = {}
+    burn_ref = burn_reference()
+
+    def bench(name, fn, reps=3):
+        queries[name], result, contended[name] = timed_clean(
+            fn, burn_ref, reps=reps
+        )
+        return result
 
     from python_rasterstats_spark.sources.tables import load_corpus
 
@@ -110,26 +163,29 @@ def main():
     # codegen) on a small zone subset so the first timed query measures
     # steady state, like a long-lived cluster, not JIT/page-cache warmup
     run_zonal(spark, corpus_dir, ["count"], tables, zone_limit=64)
-    queries["zonal_default"], npix = timed_min(
+    bench(
+        "zonal_default",
         lambda: run_zonal(
             spark, corpus_dir, ["count", "min", "max", "mean"], tables
-        )
+        ),
     )
-    queries["zonal_all_stats"], _ = timed_min(
+    bench(
+        "zonal_all_stats",
         lambda: run_zonal(
             spark, corpus_dir,
             "count min max mean sum std median majority minority unique range "
             "percentile_25 percentile_90".split(),
             tables,
-        )
+        ),
     )
     # SMJ regime: zone set declared too large to broadcast — cover cells
     # (with WKB) shuffle on the tile key instead
-    queries["zonal_smj"], _ = timed_min(
+    bench(
+        "zonal_smj",
         lambda: run_zonal(
             spark, corpus_dir, ["count", "min", "max", "mean"], tables,
             broadcast_zones=False,
-        )
+        ),
     )
 
     def run_points():
@@ -144,7 +200,7 @@ def main():
         )
         return out.count()
 
-    queries["point_query"], _ = timed(run_points)
+    bench("point_query", run_points, reps=1)
 
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     if os.path.exists(docs_path):
@@ -152,17 +208,23 @@ def main():
 
         docs = spark.read.parquet(docs_path)
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        queries["doc_dedup_exact"], _ = timed(lambda: dedup.exact_dups(docs).count())
-        queries["doc_minhash_lsh"], _ = timed(
-            lambda: dedup.minhash_lsh_candidates(docs).count()
+        bench("doc_dedup_exact", lambda: dedup.exact_dups(docs).count(), reps=1)
+        bench(
+            "doc_minhash_lsh",
+            lambda: dedup.minhash_lsh_candidates(docs).count(),
+            reps=1,
         )
-        queries["doc_token_stats"], _ = timed(
-            lambda: textops.token_stats(docs).agg({"token_cnt": "sum"}).collect()
+        bench(
+            "doc_token_stats",
+            lambda: textops.token_stats(docs).agg({"token_cnt": "sum"}).collect(),
+            reps=1,
         )
-        queries["ann_cosine"], _ = timed(
+        bench(
+            "ann_cosine",
             lambda: similarity.cosine_neighbors(
                 emb, query_max_id=20, threshold=0.25
-            ).count()
+            ).count(),
+            reps=1,
         )
 
     total = sum(queries.values())
@@ -174,6 +236,13 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        # validity evidence: per-query contention flags from the burn
+        # sentinel — a True here means the number above was measured in a
+        # window where a 0.3-s single-thread numpy burn ran >20% over its
+        # quiet-machine reference even after the retry budget, i.e. treat
+        # that number as an upper bound, not a regression
+        "contended": {k: v for k, v in contended.items() if v},
+        "burn_ref_sec": round(burn_ref, 4),
         "sf": SF_NAME,
         "cpus": CPUS,
         "corpus": meta,

@@ -97,7 +97,10 @@ def point_query_df(
             (r["zone_id"], r["dataset"]): bytes(r["geometry_wkb"])
             for r in zones.select("zone_id", "dataset", "geometry_wkb").collect()
         }
-        pred = tile_prune_filter(gd, meta, pad_tiles=1)
+        pred = tile_prune_filter(
+            gd, meta, pad_tiles=1,
+            quadkey_col="quadkey" if "quadkey" in tiles.columns else None,
+        )
         if pred is not None:
             tiles = tiles.filter(pred)
 

@@ -140,6 +140,27 @@ def with_quadkey(
     return tiles.withColumn(out, qk)
 
 
+def write_quadkey_sorted_tiles(
+    tiles: DataFrame, path: str, *, level: int = 16, files: int | None = None
+) -> None:
+    """Persist the tile table range-partitioned + sorted by (dataset,
+    quadkey) — the storage layout that makes PER-ZONE scan pruning
+    (operators/zonal.quadkey_prune_ranges) effective: each zone's ≤64
+    1-D quadkey ranges map to contiguous runs of row groups/files, so a
+    sparse zone set over a planet-sized corpus reads only its working
+    set. On a real warehouse this is Iceberg's sort-order/partition
+    transform on the Morton key; plain parquet gets the same row-group
+    min-max skipping from the sort alone."""
+    n = files or tiles.sparkSession.sparkContext.defaultParallelism
+    (
+        with_quadkey(tiles, level=level)
+        .repartitionByRange(n, "dataset", "quadkey")
+        .sortWithinPartitions("dataset", "quadkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed_tiles(
     tiles: DataFrame, table_name: str, *, buckets: int = 32
 ) -> None:
