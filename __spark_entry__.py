@@ -738,6 +738,45 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_zonal_qk_prune(spark, sf_dir):
+    """Quadkey-range scan pruning gate (r4): the tile table carries a
+    quadkey column (sources/tables.with_quadkey — the quadkey-sorted
+    storage layout), so zonal_stats_df pushes PER-ZONE 1-D quadkey range
+    sets to the parquet scan instead of bbox rectangles
+    (operators/zonal.quadkey_prune_ranges). Pruning is a strict superset
+    filter, so the answer equals zonal_default — shared oracle."""
+    from python_rasterstats_spark.fixtures import ensure_fixtures
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.tables import load_corpus, with_quadkey
+
+    tiles, zones, datasets = load_corpus(spark, ensure_fixtures(FIX))
+    out = zonal_stats_df(
+        zones.filter(F.col("collection") == "polygons"),
+        with_quadkey(tiles), datasets, dataset="slope",
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def q_ann_ivf_dist(spark, sf_dir):
+    """IVF ANN with DISTRIBUTED probe assignment (r4): the query side
+    never collects — per-query top-nprobe lists come from JVM expressions
+    on the executors (similarity.ivf_probe_lists) and candidates form via
+    a plain list_id equi-join. Gated at nprobe == ncentroids (exhaustive)
+    — must equal brute force, same oracle as ann_ivf."""
+    from python_rasterstats_spark.functions.similarity import ivf_ann
+
+    return ivf_ann(
+        _emb(spark, sf_dir), ncentroids=8, nprobe=8,
+        query_max_id=5, threshold=0.25, distributed_queries=True,
+    )
+
+
 def q_tile_resize(spark, sf_dir):
     from python_rasterstats_spark.functions.multimodal import resize_tiles
 
@@ -806,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_dist": q_ann_ivf_dist,
+        "zonal_qk_prune": q_zonal_qk_prune,
         "doc_neardup_groups": q_doc_neardup_groups,
         "tile_quadkey": q_tile_quadkey,
         "tile_resize": q_tile_resize,
@@ -893,6 +934,7 @@ GROUP BY v.zone_id
     # same zones/dataset/valid-pixel set as zonal_default: the SMJ-regime
     # run and the CLI run must produce the broadcast plan's exact answer
     sql["zonal_smj"] = sql["zonal_default"]
+    sql["zonal_qk_prune"] = sql["zonal_default"]
     sql["cli_zonalstats"] = sql["zonal_default"]
 
     sql["zonal_addstats_scalable"] = _valid_join("'polygons_slope_default'") + """
@@ -1298,6 +1340,7 @@ FROM c WHERE cos >= 0.25
 
     # IVF gated exhaustively (nprobe == ncentroids) -> identical to brute
     sql["ann_ivf"] = sql["ann_cosine"]
+    sql["ann_ivf_dist"] = sql["ann_cosine"]
 
     cos_ab = (
         _dot.format(x="a.va", y="b.embedding")

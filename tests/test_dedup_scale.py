@@ -164,3 +164,18 @@ def test_neardup_groups_matches_union_find(spark):
         comp.setdefault(k, []).append(n)
     for k, members in comp.items():
         assert k == min(members)
+
+
+def test_neardup_groups_chain_converges_logarithmically(spark):
+    """r3 verdict 'Next round #8': a 1,000-node PATH component (diameter
+    999) converges under the pointer-jump rounds — max_iters=15 only
+    suffices if label chains compress geometrically (plain propagation
+    would need ~999 rounds)."""
+    from python_rasterstats_spark.functions.dedup import neardup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    got = neardup_groups(pairs, max_iters=15).collect()
+    assert len(got) == 1000
+    assert all(r["keeper_id"] == 0 for r in got)

@@ -69,3 +69,82 @@ def test_streaming_dedup_suppresses_cross_batch_dups(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     # doc 2 (same text as doc 0, LATER batch) suppressed by the state store
     assert kept == [0, 1, 3]
+
+
+def _drop_batch(spark, tmp_path, stream_dir, name, rows):
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    stage = tmp_path / f"_stage_{name}"
+    (spark.createDataFrame(rows, ddl).coalesce(1)
+     .write.mode("overwrite").parquet(str(stage)))
+    src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(str(stage / src), os.path.join(stream_dir, f"{name}.parquet"))
+
+
+def test_state_rows_bounded_by_distinct_hashes(spark, tmp_path):
+    """State-growth contract: N batches with duplicates leave ONE state
+    row per distinct hash, never per document (read back through the
+    state-store data source — the same store the checkpoint persists)."""
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    chk = str(tmp_path / "chk")
+    texts = ["alpha", "beta", "gamma"]
+    rows = []
+    did = 0
+    for b in range(4):  # 4 batches × all 3 texts = 12 docs, 3 distinct
+        batch = []
+        for t in texts:
+            batch.append((did, t, "en", "s", len(t)))
+            did += 1
+        rows.append(batch)
+    for i, batch in enumerate(rows):
+        _drop_batch(spark, tmp_path, stream_dir, f"b{i}", batch)
+    q = dedup_stream(spark, stream_dir, str(tmp_path / "out"), chk)
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(chk)
+    assert state.count() == len(texts)  # 12 docs in, 3 state rows
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [0, 1, 2]
+
+
+def test_ttl_evicts_idle_state_and_reemits(spark, tmp_path):
+    """Bounded-state mode: a hash idle past ttl_ms is evicted (state row
+    gone) and a duplicate arriving after eviction re-emits as a fresh
+    keeper — the documented freshness/recall trade."""
+    import time
+
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = dedup_stream(spark, stream_dir, out, chk, ttl_ms=300)
+        q.awaitTermination(120)
+
+    _drop_batch(spark, tmp_path, stream_dir, "b0",
+                [(0, "omega", "en", "s", 5)])
+    run()
+    time.sleep(1.0)  # let the 300 ms idle TTL lapse
+    # unrelated data: triggers timeout processing for the idle hash
+    _drop_batch(spark, tmp_path, stream_dir, "b1",
+                [(1, "psi", "en", "s", 3)])
+    run()
+    import hashlib
+
+    omega_hash = hashlib.md5(b"omega").hexdigest()
+    state = spark.read.format("statestore").load(chk)
+    # the idle 'omega' hash is evicted (availableNow may also run a
+    # trailing batch that times out 'psi' — both prove bounded state)
+    assert (
+        state.filter(F.col("key.text_hash") == omega_hash).count() == 0
+    )
+    assert state.count() <= 1
+    # a post-eviction duplicate of 'omega' re-emits
+    _drop_batch(spark, tmp_path, stream_dir, "b2",
+                [(2, "omega", "en", "s", 5)])
+    run()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 1, 2]  # doc 2 kept BECAUSE doc 0's state was evicted
