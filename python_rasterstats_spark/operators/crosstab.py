@@ -88,10 +88,12 @@ def zonal_crosstab_df(
     if geoms_bc is not None:
         # scan-level pruning; the class raster shares the grid (validated
         # above) so the value-dataset key ranges apply to both scans
-        pred = tile_prune_filter(geoms_bc.value, meta)
+        qk = "quadkey" if "quadkey" in tiles.columns else None
+        pred = tile_prune_filter(geoms_bc.value, meta, quadkey_col=qk)
         pred_c = tile_prune_filter(
             {(z, class_dataset): w for (z, _), w in geoms_bc.value.items()},
             meta,
+            quadkey_col=qk,
         )
         if pred is not None:
             tiles = tiles.filter(pred | pred_c)

@@ -184,15 +184,21 @@ def _coalesce_rects(rects: list, max_rects: int) -> list:
     Morton ordering keeps grouped rects spatially close, so the group
     bboxes stay tight for clustered zones."""
     uniq = sorted(set(rects))
-    kept = []
-    for r in uniq:
-        if any(
-            o[0] <= r[0] and r[1] <= o[1] and o[2] <= r[2] and r[3] <= o[3]
-            for o in uniq
-            if o != r
-        ):
-            continue
-        kept.append(r)
+    if len(uniq) <= 4 * max_rects:
+        # containment drop is O(n²) — only worth it (and only affordable
+        # driver-side) when the set is already near the cap; larger sets
+        # go straight to Morton grouping, which subsumes contained rects
+        kept = []
+        for r in uniq:
+            if any(
+                o[0] <= r[0] and r[1] <= o[1] and o[2] <= r[2] and r[3] <= o[3]
+                for o in uniq
+                if o != r
+            ):
+                continue
+            kept.append(r)
+    else:
+        kept = uniq
     if len(kept) <= max_rects:
         return kept
     kept.sort(key=lambda r: K.quadkey((r[0] + r[1]) // 2, (r[2] + r[3]) // 2))
@@ -296,6 +302,10 @@ def quadkey_prune_ranges(
     coalescing across the smallest gaps (superset-safe)."""
     out = {}
     for ds, rects in _zone_tile_rects(geoms, meta, pad_tiles=pad_tiles).items():
+        # bound driver work for huge zone sets: past 4×max_ranges rects
+        # the final cap collapses most ranges anyway, so coalesce rects
+        # first (superset-safe) instead of covering 10⁵ rects one by one
+        rects = _coalesce_rects(rects, 4 * max_ranges)
         ranges: list = []
         for tc0, tc1, tr0, tr1 in rects:
             ranges.extend(_quad_cover_ranges(tc0, tc1, tr0, tr1, level))

@@ -259,3 +259,25 @@ def test_quadkey_ranges_cover_every_cover_cell(spark, sparse_corpus):
     assert len(cells) == 18
     for r in cells:
         assert _in_ranges(K.quadkey(r["tile_col"], r["tile_row"]), ranges)
+
+
+def test_crosstab_quadkey_pruning_matches_plain(spark, corpus):
+    """Crosstab auto-detects the quadkey column like zonal/point do; the
+    per-zone range predicate is a superset filter, so results match."""
+    from python_rasterstats_spark.operators.crosstab import zonal_crosstab_df
+
+    tiles, zones, datasets = corpus
+    polys = zones.filter(F.col("collection") == "polygons")
+    want = _collect_sorted(
+        zonal_crosstab_df(
+            polys, tiles, datasets,
+            value_dataset="slope", class_dataset="slope_classes",
+        )
+    )
+    got = _collect_sorted(
+        zonal_crosstab_df(
+            polys, with_quadkey(tiles), datasets,
+            value_dataset="slope", class_dataset="slope_classes",
+        )
+    )
+    assert want == got and len(want) > 0
