@@ -107,18 +107,36 @@ def _burn_once() -> float:
     return time.perf_counter() - t0
 
 
-def burn_reference() -> float:
-    """Quiet-machine burn cost: min of 5 (the min is the least
-    contaminated estimate)."""
-    return min(_burn_once() for _ in range(5))
+def _burn_parallel(threads: int = 8) -> float:
+    """The same burn fanned across ``threads`` (numpy dot releases the
+    GIL). Catches the failure mode the single-thread probe misses: a
+    neighbor saturating MOST cores while one stays responsive — exactly
+    what inflated the unflagged zonal numbers during development."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _burn_once()  # ensure _BURN_X exists before the threads race to init
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(lambda _: _burn_once(), range(threads)))
+    return time.perf_counter() - t0
+
+
+def burn_reference() -> tuple:
+    """Quiet-machine burn costs (single, parallel): min of 5 / min of 2
+    (the min is the least contaminated estimate)."""
+    one = min(_burn_once() for _ in range(5))
+    par = min(_burn_parallel() for _ in range(2))
+    return one, par
 
 
 def timed_clean(fn, burn_ref, reps=3, max_retries=2):
-    """min-of-N timing where each rep is bracketed by the burn sentinel.
-    A rep whose surrounding burns ran >20% over reference is discarded
+    """min-of-N timing where each rep is bracketed by the burn sentinels
+    (single-thread before+after, parallel after). A rep whose burns ran
+    >20% (single) / >35% (parallel — noisier) over reference is discarded
     and retried (up to ``max_retries`` extra attempts overall); if the
     budget runs out the contaminated rep still counts, flagged. Returns
     (best_sec, result, contended)."""
+    ref1, refp = burn_ref
     best, result, contended = float("inf"), None, False
     retries = max_retries
     rep = 0
@@ -126,7 +144,8 @@ def timed_clean(fn, burn_ref, reps=3, max_retries=2):
         b1 = _burn_once()
         sec, result = timed(fn)
         b2 = _burn_once()
-        dirty = min(b1, b2) > 1.2 * burn_ref
+        bp = _burn_parallel()
+        dirty = min(b1, b2) > 1.2 * ref1 or bp > 1.35 * refp
         if dirty and retries > 0:
             retries -= 1
             continue  # neighbor noise during this rep — measure again
@@ -242,7 +261,8 @@ def main():
         # quiet-machine reference even after the retry budget, i.e. treat
         # that number as an upper bound, not a regression
         "contended": {k: v for k, v in contended.items() if v},
-        "burn_ref_sec": round(burn_ref, 4),
+        "burn_ref_sec": round(burn_ref[0], 4),
+        "burn_ref_par_sec": round(burn_ref[1], 4),
         "sf": SF_NAME,
         "cpus": CPUS,
         "corpus": meta,

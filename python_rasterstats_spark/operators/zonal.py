@@ -287,6 +287,16 @@ def _merge_ranges(ranges: list, max_ranges: int) -> list:
     return [(lo, hi) for lo, hi in merged]
 
 
+# coverage fraction of the union range above which per-zone granularity
+# is collapsed back to the union (the disjunction would admit nearly
+# everything anyway, so only the predicate overhead would remain)
+_DENSE_FRAC = 0.5
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def quadkey_prune_ranges(
     geoms: dict,
     meta: dict,
@@ -347,7 +357,15 @@ def tile_prune_filter(
       skip everything else — the reference's per-feature windowed read
       (io.py:292-362) done at storage level.
     """
-    pred = None
+    # Predicates are built as ONE SQL string handed to F.expr: composing
+    # a 64-term disjunction from Column operators costs hundreds of py4j
+    # round-trips (~2 s measured at 64 rects) and a 100+-node boolean
+    # tree that Catalyst re-optimizes on EVERY action; the parsed string
+    # costs one round-trip. Dense working sets additionally collapse to
+    # their union range when per-zone granularity can't prune anyway
+    # (coverage > _DENSE_FRAC of the union) — sparse scattered zones keep
+    # full per-zone granularity, dense corpora keep the r3-cheap plan.
+    parts = []
     if quadkey_col is not None:
         by_ds = quadkey_prune_ranges(
             geoms, meta, level=quadkey_level, pad_tiles=pad_tiles,
@@ -356,26 +374,42 @@ def tile_prune_filter(
         for ds, ranges in by_ds.items():
             if not ranges:
                 continue
-            rng = None
-            for lo, hi in ranges:
-                r = F.col(quadkey_col).between(lo, hi)
-                rng = r if rng is None else (rng | r)
-            p = (F.col("dataset") == ds) & rng
-            pred = p if pred is None else (pred | p)
-        return pred
-    for ds, rects in _zone_tile_rects(geoms, meta, pad_tiles=pad_tiles).items():
-        rects = _coalesce_rects(rects, max_ranges)
-        rng = None
-        for tc0, tc1, tr0, tr1 in rects:
-            r = F.col("tile_col").between(tc0, tc1) & F.col("tile_row").between(
-                tr0, tr1
+            span = ranges[-1][1] - ranges[0][0] + 1
+            cov = sum(hi - lo + 1 for lo, hi in ranges)
+            if len(ranges) > 1 and cov > _DENSE_FRAC * span:
+                ranges = [(ranges[0][0], ranges[-1][1])]
+            rng = " OR ".join(
+                f"{quadkey_col} BETWEEN {lo} AND {hi}" for lo, hi in ranges
             )
-            rng = r if rng is None else (rng | r)
-        if rng is None:
-            continue
-        p = (F.col("dataset") == ds) & rng
-        pred = p if pred is None else (pred | p)
-    return pred
+            parts.append(f"(dataset = {_sql_str(ds)} AND ({rng}))")
+    else:
+        for ds, rects in _zone_tile_rects(
+            geoms, meta, pad_tiles=pad_tiles
+        ).items():
+            rects = _coalesce_rects(rects, max_ranges)
+            if not rects:
+                continue
+            u = (
+                min(r[0] for r in rects),
+                max(r[1] for r in rects),
+                min(r[2] for r in rects),
+                max(r[3] for r in rects),
+            )
+            cov = sum(
+                (r[1] - r[0] + 1) * (r[3] - r[2] + 1) for r in rects
+            )
+            area = (u[1] - u[0] + 1) * (u[3] - u[2] + 1)
+            if len(rects) > 1 and cov > _DENSE_FRAC * area:
+                rects = [u]
+            rng = " OR ".join(
+                f"(tile_col BETWEEN {tc0} AND {tc1} "
+                f"AND tile_row BETWEEN {tr0} AND {tr1})"
+                for tc0, tc1, tr0, tr1 in rects
+            )
+            parts.append(f"(dataset = {_sql_str(ds)} AND ({rng}))")
+    if not parts:
+        return None
+    return F.expr(" OR ".join(parts))
 
 
 def zone_cover_cells(
