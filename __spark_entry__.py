@@ -710,6 +710,25 @@ def q_doc_neardup_groups(spark, sf_dir):
     return neardup_groups(pairs)
 
 
+def q_doc_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedup PIPELINE (r4 integration gate): simhash
+    pairs → connected components (pointer-jumping neardup_groups) → drop
+    every non-keeper → the surviving corpus. This is the composition a
+    training-data pipeline actually runs; gating it end-to-end pins the
+    seams between the three operators, not just each one alone. Oracle:
+    DuckDB recursive-CTE closure over the committed independent-XXH64
+    simhash table, anti-joined against the documents view."""
+    from python_rasterstats_spark.functions.dedup import (
+        neardup_groups, simhash_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_pairs(docs, bands=8, radius=3)
+    groups = neardup_groups(pairs)
+    drop = groups.filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
 def q_tile_quadkey(spark, sf_dir):
     """Explicit quadkey tiling scheme (north_star): Morton-interleaved
     cell ids for every tile, parents as bit prefixes — computed with JVM
@@ -846,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_dist": q_ann_ivf_dist,
+        "doc_dedup_pipeline": q_doc_dedup_pipeline,
         "zonal_qk_prune": q_zonal_qk_prune,
         "doc_neardup_groups": q_doc_neardup_groups,
         "tile_quadkey": q_tile_quadkey,
@@ -1420,6 +1440,23 @@ reach(n, m) AS (
 )
 SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper_id
 FROM reach GROUP BY n
+"""
+
+    sql["doc_dedup_pipeline"] = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, simhash FROM read_parquet('{hora}/doc_simhash.parquet')),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e)
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m
+),
+g AS (SELECT n AS doc_id, min(m) AS keeper FROM reach GROUP BY n)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM g WHERE doc_id != keeper)
 """
     return sql
 
