@@ -29,6 +29,7 @@ from .zonal import (
     _effective_geom,
     broadcast_zone_geoms,
     collect_dataset_meta,
+    hybrid_big_zone_geoms,
     tile_prune_filter,
     zone_cover_cells,
 )
@@ -58,6 +59,7 @@ def zonal_crosstab_df(
     nodata: float | None = None,
     broadcast_zones: bool = True,
     meta: dict | None = None,
+    hybrid_wkb_bytes: int | None = 16 << 20,
 ) -> DataFrame:
     """Per-(zone, class) statistics of ``value_dataset`` where
     ``class_dataset`` holds the class. Pixels are valid when covered by the
@@ -79,13 +81,22 @@ def zonal_crosstab_df(
     # KEY-ONLY cells + once-per-zone geometry broadcast (operators/zonal.py
     # rationale: never store WKB per covering tile); the SMJ regime
     # (broadcast_zones=False) carries WKB on the cells through the
-    # tile-key shuffle instead
+    # tile-key shuffle — bounded by the same hybrid sizing pass as zonal
+    # (large-WKB × many-cell zones broadcast instead, cells carry NULL)
     zdim = zones.withColumn("dataset", F.lit(value_dataset))
+    big_keys: frozenset = frozenset()
+    geoms_bc = None
+    if broadcast_zones:
+        geoms_bc = broadcast_zone_geoms(zdim)
+    elif hybrid_wkb_bytes is not None:
+        geoms_bc, big_keys = hybrid_big_zone_geoms(
+            zdim, meta, clip_to_grid=True, threshold_bytes=hybrid_wkb_bytes
+        )
     cells = zone_cover_cells(
-        zdim, meta, clip_to_grid=True, with_geometry=not broadcast_zones
+        zdim, meta, clip_to_grid=True, with_geometry=not broadcast_zones,
+        null_wkb_keys=big_keys,
     ).drop("dataset")
-    geoms_bc = broadcast_zone_geoms(zdim) if broadcast_zones else None
-    if geoms_bc is not None:
+    if broadcast_zones:
         # scan-level pruning; the class raster shares the grid (validated
         # above) so the value-dataset key ranges apply to both scans
         qk = "quadkey" if "quadkey" in tiles.columns else None
@@ -117,17 +128,19 @@ def zonal_crosstab_df(
         geom_cache = K.LRU(1024)
         for pdf in batches:
             rows = {name: [] for name in _XTAB_PARTIAL.fieldNames()}
-            wkbs = pdf["geometry_wkb"] if geoms_bc is None else None
+            wkbs = pdf["geometry_wkb"] if "geometry_wkb" in pdf else None
             for i, (zid, tcn, trn, vb, vf, cb, cf) in enumerate(zip(
                 pdf["zone_id"], pdf["tile_col"], pdf["tile_row"],
                 pdf["vbytes"], pdf["vfmt"], pdf["cbytes"], pdf["cfmt"],
             )):
                 cached = geom_cache.get(zid)
                 if cached is None:
-                    wkb = (
-                        geoms_bc.value[(zid, value_dataset)]
-                        if wkbs is None else wkbs.iloc[i]
-                    )
+                    if wkbs is None:
+                        wkb = geoms_bc.value[(zid, value_dataset)]
+                    else:
+                        wkb = wkbs.iloc[i]
+                        if wkb is None:  # hybrid regime big zone
+                            wkb = geoms_bc.value[(zid, value_dataset)]
                     geom = _effective_geom(wkb, aff)
                     cached = (
                         K.geom_to_pixel(geom, aff),

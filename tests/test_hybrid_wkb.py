@@ -158,3 +158,28 @@ def test_hybrid_default_threshold_keeps_small_zone_sets_inline(
         zones, meta, clip_to_grid=True, threshold_bytes=1 << 40
     )
     assert keys_high == frozenset()
+
+
+def test_crosstab_hybrid_smj_matches_broadcast(spark, corpus):
+    """Crosstab's SMJ regime gets the same hybrid WKB bound as zonal."""
+    from python_rasterstats_spark.operators.crosstab import zonal_crosstab_df
+
+    tiles, zones, datasets = corpus
+    polys = zones.filter(F.col("collection") == "polygons")
+    kw = dict(value_dataset="slope", class_dataset="slope_classes")
+    want = _rows(zonal_crosstab_df(polys, tiles, datasets, **kw))
+    got_hybrid = _rows(
+        zonal_crosstab_df(
+            polys, tiles, datasets, broadcast_zones=False,
+            hybrid_wkb_bytes=1, **kw,  # force EVERY zone down the hybrid path
+        )
+    )
+    got_inline = _rows(
+        zonal_crosstab_df(
+            polys, tiles, datasets, broadcast_zones=False,
+            hybrid_wkb_bytes=None, **kw,
+        )
+    )
+    _assert_close(want, got_hybrid)
+    _assert_close(want, got_inline)
+    assert len(want) > 0
