@@ -100,6 +100,7 @@ def point_query_df(
         pred = tile_prune_filter(
             gd, meta, pad_tiles=1,
             quadkey_col="quadkey" if "quadkey" in tiles.columns else None,
+            prefix_col="qk_prefix" if "qk_prefix" in tiles.columns else None,
         )
         if pred is not None:
             tiles = tiles.filter(pred)

@@ -331,6 +331,7 @@ def tile_prune_filter(
     max_ranges: int = 64,
     quadkey_col: str | None = None,
     quadkey_level: int = 16,
+    prefix_col: str | None = None,
 ):
     """Scan-level tile-pruning predicate from the collected zone dim.
 
@@ -381,7 +382,26 @@ def tile_prune_filter(
             rng = " OR ".join(
                 f"{quadkey_col} BETWEEN {lo} AND {hi}" for lo, hi in ranges
             )
-            parts.append(f"(dataset = {_sql_str(ds)} AND ({rng}))")
+            clause = f"dataset = {_sql_str(ds)} AND ({rng})"
+            if prefix_col is not None:
+                # partitioned storage: an IN-list over the quad-prefix
+                # partition column prunes whole DIRECTORIES at listing
+                # time (PartitionFilters) before any file is opened; the
+                # shift is re-derived from the SAME dataset grid dims the
+                # writer used, so partition values always agree
+                from ..sources.tables import dataset_prefix_shifts
+
+                shift = dataset_prefix_shifts(meta)[ds]
+                prefixes = sorted(
+                    {
+                        p
+                        for lo, hi in ranges
+                        for p in range(lo >> shift, (hi >> shift) + 1)
+                    }
+                )
+                inlist = ", ".join(str(p) for p in prefixes)
+                clause += f" AND {prefix_col} IN ({inlist})"
+            parts.append(f"({clause})")
     else:
         for ds, rects in _zone_tile_rects(
             geoms, meta, pad_tiles=pad_tiles
@@ -1262,6 +1282,7 @@ def zonal_stats_df(
         pred = tile_prune_filter(
             geoms_bc.value, meta,
             quadkey_col="quadkey" if "quadkey" in tiles.columns else None,
+            prefix_col="qk_prefix" if "qk_prefix" in tiles.columns else None,
         )
         if pred is not None:
             tiles = tiles.filter(pred)

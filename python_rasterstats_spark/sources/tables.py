@@ -161,6 +161,64 @@ def write_quadkey_sorted_tiles(
     )
 
 
+def quad_prefix_shift(ntc: int, ntr: int, target_partitions: int = 64) -> int:
+    """Bit shift turning a quadkey into its quad-prefix partition value
+    for a dataset whose grid is ``ntc × ntr`` tiles: the populated code
+    space spans ``2*levels`` bits (levels = ceil(log2(max dim))), and the
+    top ~log2(target_partitions) bits become the prefix — ≤64 directories
+    whatever the grid size. Writer and pruning predicate MUST derive the
+    shift from the same datasets metadata (this function) so partition
+    values always agree."""
+    dim = max(ntc, ntr, 1)
+    levels = max(1, math.ceil(math.log2(dim)))
+    bits = max(1, round(math.log2(max(target_partitions, 2))))
+    return max(0, 2 * levels - bits)
+
+
+def dataset_prefix_shifts(meta: dict) -> dict:
+    """Per-dataset quad-prefix shift from the datasets metadata dict."""
+    out = {}
+    for ds, m in meta.items():
+        ntc = math.ceil(m["width"] / m["tile_w"])
+        ntr = math.ceil(m["height"] / m["tile_h"])
+        out[ds] = quad_prefix_shift(ntc, ntr)
+    return out
+
+
+def write_quadkey_partitioned_tiles(
+    tiles: DataFrame, datasets: DataFrame, path: str, *, level: int = 16
+) -> None:
+    """Persist the tile table PARTITIONED by the quad-prefix of its
+    quadkey (``qk_prefix = quadkey >> shift(dataset)``, ≤64 directories
+    per dataset; shift derived from the dataset's grid dims so both this
+    writer and the pruning predicate agree) and sorted by quadkey within
+    partitions — Iceberg's partition-transform idea on plain parquet. A
+    zone's quadkey ranges then prune at THREE levels: directory listing
+    (Spark partition pruning on qk_prefix — PartitionFilters in the
+    scan), row-group skipping (quadkey min-max stats), and the residual
+    row filter. The pruning predicate picks the prefix IN-list up
+    automatically when the scan has a qk_prefix column
+    (operators/zonal.tile_prune_filter)."""
+    from ..operators.zonal import collect_dataset_meta
+
+    shifts = dataset_prefix_shifts(collect_dataset_meta(datasets))
+    qk = with_quadkey(tiles, level=level)
+    cases = " ".join(
+        f"WHEN dataset = '{ds}' THEN shiftright(quadkey, {sh})"
+        for ds, sh in shifts.items()
+    )
+    (
+        qk.withColumn(
+            "qk_prefix", F.expr(f"CASE {cases} ELSE quadkey END")
+        )
+        .repartition("qk_prefix")
+        .sortWithinPartitions("qk_prefix", "quadkey")
+        .write.mode("overwrite")
+        .partitionBy("qk_prefix")
+        .parquet(path)
+    )
+
+
 def write_bucketed_tiles(
     tiles: DataFrame, table_name: str, *, buckets: int = 32
 ) -> None:

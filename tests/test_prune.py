@@ -281,3 +281,49 @@ def test_crosstab_quadkey_pruning_matches_plain(spark, corpus):
         )
     )
     assert want == got and len(want) > 0
+
+
+def test_partitioned_quadkey_prunes_directories(spark, sparse_corpus, tmp_path):
+    """write_quadkey_partitioned_tiles + the qk_prefix IN-list: Spark's
+    partition pruning drops whole directories at listing time
+    (PartitionFilters + reduced partition count), results unchanged."""
+    from python_rasterstats_spark.sources.tables import (
+        write_quadkey_partitioned_tiles,
+    )
+
+    c = sparse_corpus
+    part_path = str(tmp_path / "tiles_part")
+    write_quadkey_partitioned_tiles(
+        spark.read.parquet(c["plain"]), c["datasets"], part_path
+    )
+    part_tiles = spark.read.parquet(part_path)
+    assert "qk_prefix" in part_tiles.columns
+    stats = ["count", "min", "max", "mean"]
+    want = _collect_sorted(
+        zonal_stats_df(
+            c["zones"], spark.read.parquet(c["plain"]), c["datasets"],
+            dataset="sparse", stats=stats, prune_tiles=False,
+        )
+    )
+    out = zonal_stats_df(
+        c["zones"], part_tiles, c["datasets"], dataset="sparse", stats=stats
+    )
+    got = _collect_sorted(out)
+    assert want == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "qk_prefix" in plan
+    # directory-level evidence: the prefix IN-list the predicate pushed
+    # covers only the 2 corner partitions out of the 64 written
+    import os as _os
+
+    ndirs = len([d for d in _os.listdir(part_path) if d.startswith("qk_prefix=")])
+    assert ndirs >= 32  # the transform really spread the corpus
+    from python_rasterstats_spark.operators.zonal import collect_dataset_meta
+    from python_rasterstats_spark.sources.tables import dataset_prefix_shifts
+
+    meta = collect_dataset_meta(c["datasets"])
+    shift = dataset_prefix_shifts(meta)["sparse"]
+    gd = _zone_geom_dict(c["zones"])
+    ranges = quadkey_prune_ranges(gd, meta)["sparse"]
+    prefixes = {p for lo, hi in ranges for p in range(lo >> shift, (hi >> shift) + 1)}
+    assert len(prefixes) <= 4  # 2 corners -> a handful of directories
