@@ -327,3 +327,43 @@ def test_partitioned_quadkey_prunes_directories(spark, sparse_corpus, tmp_path):
     ranges = quadkey_prune_ranges(gd, meta)["sparse"]
     prefixes = {p for lo, hi in ranges for p in range(lo >> shift, (hi >> shift) + 1)}
     assert len(prefixes) <= 4  # 2 corners -> a handful of directories
+
+
+def test_multi_dataset_grids_get_independent_prefix_shifts(spark, tmp_path):
+    """Two datasets with different grid sizes partition and prune with
+    their OWN grid-adaptive shifts; results equal the unpruned run."""
+    from python_rasterstats_spark.sources.tables import (
+        dataset_prefix_shifts,
+        write_quadkey_partitioned_tiles,
+    )
+    from python_rasterstats_spark.operators.zonal import collect_dataset_meta
+
+    rng = np.random.default_rng(3)
+    big = rng.uniform(0, 10, size=(512, 512)).astype(np.float32)
+    small = rng.uniform(0, 10, size=(128, 128)).astype(np.float32)
+    aff = (1.0, 0.0, 0.0, 0.0, -1.0, 512.0)
+    aff_s = (1.0, 0.0, 0.0, 0.0, -1.0, 128.0)
+    tb, db = raster_to_tables(spark, big, aff, dataset="big", tile=16)
+    ts, ds_ = raster_to_tables(spark, small, aff_s, dataset="small", tile=16)
+    tiles = tb.unionByName(ts)
+    datasets = db.unionByName(ds_)
+    shifts = dataset_prefix_shifts(collect_dataset_meta(datasets))
+    assert shifts["big"] != shifts["small"]  # 32×32 vs 8×8 grids
+    path = str(tmp_path / "multi_part")
+    write_quadkey_partitioned_tiles(tiles, datasets, path)
+    part = spark.read.parquet(path)
+    zones_b = features_to_zones(
+        spark, ["POLYGON ((5 475, 35 475, 35 505, 5 505, 5 475))"],
+        dataset="big",
+    )
+    zones_s = features_to_zones(
+        spark, ["POLYGON ((100 5, 120 5, 120 25, 100 25, 100 5))"],
+        dataset="small",
+    ).withColumn("zone_id", F.col("zone_id") + 100)
+    zones = zones_b.unionByName(zones_s)
+    want = _collect_sorted(
+        zonal_stats_df(zones, tiles, datasets, prune_tiles=False)
+    )
+    got = _collect_sorted(zonal_stats_df(zones, part, datasets))
+    assert want == got and len(want) == 2
+    assert all(r[1] > 0 for r in want)
