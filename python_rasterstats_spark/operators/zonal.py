@@ -311,7 +311,16 @@ def quadkey_prune_ranges(
     Ranges are merged and capped at ``max_ranges`` per dataset by
     coalescing across the smallest gaps (superset-safe)."""
     out = {}
+    grid = 1 << level
     for ds, rects in _zone_tile_rects(geoms, meta, pad_tiles=pad_tiles).items():
+        if any(r[1] >= grid or r[3] >= grid for r in rects):
+            # a grid wider than 2^level tiles overflows the Morton code
+            # (with_quadkey drops the high bits, so distant tiles SHARE
+            # codes); covering only the in-level window would silently
+            # EXCLUDE real tiles — emit no quadkey constraint for this
+            # dataset instead (superset-safe: its scan is unpruned)
+            out[ds] = [(0, (1 << (2 * level)) - 1)]
+            continue
         # bound driver work for huge zone sets: past 4×max_ranges rects
         # the final cap collapses most ranges anyway, so coalesce rects
         # first (superset-safe) instead of covering 10⁵ rects one by one

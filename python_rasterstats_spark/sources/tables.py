@@ -124,7 +124,13 @@ def with_quadkey(
     prefixes (``qk >> 2``), so quadkey ranges align with spatial locality
     — the Iceberg partition/sort-transform candidate for the tile key at
     10^12 rows (a zone's cover cells become O(few) contiguous quadkey
-    ranges instead of a scatter of (col, row) points)."""
+    ranges instead of a scatter of (col, row) points). The default
+    level 16 addresses grids up to 65,536 tiles per dim (≈4.3B tiles per
+    dataset); a wider grid wraps the code (high bits dropped) — sorting
+    stays deterministic and the pruning predicate detects the overflow
+    and falls back to an unpruned scan for that dataset
+    (operators/zonal.quadkey_prune_ranges), so results are never wrong,
+    only unpruned. Raise ``level`` (≤31) for wider grids."""
     qk = None
     for k in range(level):
         cbit = F.shiftleft(

@@ -367,3 +367,28 @@ def test_multi_dataset_grids_get_independent_prefix_shifts(spark, tmp_path):
     got = _collect_sorted(zonal_stats_df(zones, part, datasets))
     assert want == got and len(want) == 2
     assert all(r[1] > 0 for r in want)
+
+
+def test_quadkey_overflow_grid_falls_back_to_full_range():
+    """A dataset grid wider than 2^level tiles overflows the Morton code
+    (high bits dropped → distant tiles SHARE codes). The range builder
+    must emit the full-code-space range (no pruning) rather than a
+    partial cover that would silently exclude real tiles."""
+    import python_rasterstats_spark.geom as G
+
+    # 50k-tile-wide grid: overflows the level-6 code space (64 tiles)
+    # but fits level 16 (65,536)
+    m = {"huge": {
+        "affine": (1.0, 0.0, 0.0, 0.0, -1.0, 800_000.0),
+        "height": 800_000, "width": 800_000,
+        "tile_w": 16, "tile_h": 16, "nodata": None,
+        "fmt": "npy", "band_count": 1, "dtype": "float32",
+    }}
+    wkt = "POLYGON ((700000 100, 700100 100, 700100 200, 700000 200, 700000 100))"
+    geom = G.parse_feature(wkt)["geometry"]
+    gd = {(0, "huge"): G.wkb_dumps(geom)}
+    ranges = quadkey_prune_ranges(gd, m, level=LEVEL)["huge"]
+    assert ranges == [(0, 4 ** LEVEL - 1)]  # full space: superset-safe
+    # and the same zone at level 16 (fits) prunes normally
+    r16 = quadkey_prune_ranges(gd, m, level=16)["huge"]
+    assert r16 != [(0, 4 ** 16 - 1)] and len(r16) >= 1
