@@ -539,7 +539,10 @@ def zone_cell_counts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            zid_o, ds_o, wb_o, nc_o = [], [], [], []
+            rows = {k: [] for k in (
+                "zone_id", "dataset", "wkb_bytes", "ncells",
+                "tc0", "tc1", "tr0", "tr1",
+            )}
             for zid, ds, wkb in zip(
                 pdf["zone_id"], pdf["dataset"], pdf["geometry_wkb"]
             ):
@@ -547,24 +550,52 @@ def zone_cell_counts(
                 if m is None:
                     raise ValueError(f"zone {zid}: unknown dataset {ds!r}")
                 geom = _effective_geom(wkb, m["affine"])
-                *_, ncells = _zone_tile_window(geom, m, clip_to_grid)
-                zid_o.append(zid)
-                ds_o.append(ds)
-                wb_o.append(len(wkb))
-                nc_o.append(ncells)
-            if zid_o:
-                yield pd.DataFrame(
-                    {
-                        "zone_id": np.asarray(zid_o, dtype=np.int64),
-                        "dataset": ds_o,
-                        "wkb_bytes": np.asarray(wb_o, dtype=np.int64),
-                        "ncells": np.asarray(nc_o, dtype=np.int64),
-                    }
+                tr0, tr1, tc0, tc1, ncells = _zone_tile_window(
+                    geom, m, clip_to_grid
                 )
+                rows["zone_id"].append(zid)
+                rows["dataset"].append(ds)
+                rows["wkb_bytes"].append(len(wkb))
+                rows["ncells"].append(ncells)
+                rows["tc0"].append(tc0)
+                rows["tc1"].append(tc1)
+                rows["tr0"].append(tr0)
+                rows["tr1"].append(tr1)
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
 
     return spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
-        gen, "zone_id long, dataset string, wkb_bytes long, ncells long"
+        gen,
+        "zone_id long, dataset string, wkb_bytes long, ncells long, "
+        "tc0 long, tc1 long, tr0 long, tr1 long",
     )
+
+
+def smj_bounds_filter(counts: DataFrame):
+    """Scan pruning for the SMJ regime, where the zone geometries are
+    never collected: a per-dataset union tile-bbox aggregated
+    DISTRIBUTED from the sizing pass (one tiny row per dataset reaches
+    the driver). Coarser than the broadcast regime's per-zone ranges,
+    but free — and at planetary scale it still fences the scan to the
+    datasets' combined working extent. Superset-safe by the same window
+    math as the cover cells."""
+    rows = (
+        counts.groupBy("dataset")
+        .agg(
+            F.min("tc0").alias("tc0"),
+            F.max("tc1").alias("tc1"),
+            F.min("tr0").alias("tr0"),
+            F.max("tr1").alias("tr1"),
+        )
+        .collect()
+    )
+    parts = [
+        f"(dataset = {_sql_str(r['dataset'])}"
+        f" AND tile_col BETWEEN {r['tc0']} AND {r['tc1']}"
+        f" AND tile_row BETWEEN {r['tr0']} AND {r['tr1']})"
+        for r in rows
+    ]
+    return F.expr(" OR ".join(parts)) if parts else None
 
 
 def hybrid_big_zone_geoms(
@@ -574,6 +605,7 @@ def hybrid_big_zone_geoms(
     clip_to_grid: bool,
     threshold_bytes: int,
     max_zones: int = 4096,
+    counts: DataFrame | None = None,
 ):
     """The hybrid-WKB selection for the SMJ regime (r3 verdict 'What's
     wrong #1'): find the zones whose per-cell WKB duplication
@@ -587,9 +619,10 @@ def hybrid_big_zone_geoms(
     is correct, just heavier."""
     spark = zones.sparkSession
     cost = F.col("wkb_bytes") * F.col("ncells")
+    if counts is None:
+        counts = zone_cell_counts(zones, meta, clip_to_grid=clip_to_grid)
     big = (
-        zone_cell_counts(zones, meta, clip_to_grid=clip_to_grid)
-        .filter(cost > threshold_bytes)
+        counts.filter(cost > threshold_bytes)
         .orderBy(F.desc(cost), "zone_id", "dataset")
         .limit(max_zones)
         .collect()
@@ -1269,11 +1302,22 @@ def zonal_stats_df(
     geoms_bc = None
     if broadcast_zones:
         geoms_bc = broadcast_zone_geoms(zones)
-    elif hybrid_wkb_bytes is not None:
-        geoms_bc, big_keys = hybrid_big_zone_geoms(
-            zones, meta, clip_to_grid=not need_missing,
-            threshold_bytes=hybrid_wkb_bytes,
-        )
+    elif hybrid_wkb_bytes is not None or prune_tiles:
+        # SMJ regime: one distributed sizing pass over the zone table
+        # feeds both the hybrid-WKB selection and the (collect-free)
+        # per-dataset union-bbox scan filter; the pass is recomputed per
+        # consumer — it is a cheap column-pruned zones scan next to the
+        # tile work it saves
+        counts = zone_cell_counts(zones, meta, clip_to_grid=not need_missing)
+        if hybrid_wkb_bytes is not None:
+            geoms_bc, big_keys = hybrid_big_zone_geoms(
+                zones, meta, clip_to_grid=not need_missing,
+                threshold_bytes=hybrid_wkb_bytes, counts=counts,
+            )
+        if prune_tiles:
+            pred = smj_bounds_filter(counts)
+            if pred is not None:
+                tiles = tiles.filter(pred)
     cells = zone_cover_cells(
         zones, meta, clip_to_grid=not need_missing,
         max_cells_per_zone=max_cells_per_zone,

@@ -392,3 +392,39 @@ def test_quadkey_overflow_grid_falls_back_to_full_range():
     # and the same zone at level 16 (fits) prunes normally
     r16 = quadkey_prune_ranges(gd, m, level=16)["huge"]
     assert r16 != [(0, 4 ** 16 - 1)] and len(r16) >= 1
+
+
+def test_smj_regime_prunes_without_collecting_geoms(spark, sparse_corpus):
+    """The SMJ regime (zone set too large to collect) now fences the tile
+    scan with a DISTRIBUTED per-dataset union bbox from the sizing pass —
+    results equal broadcast, and the predicate reaches the scan."""
+    from python_rasterstats_spark.operators.zonal import (
+        collect_dataset_meta,
+        smj_bounds_filter,
+        zone_cell_counts,
+    )
+
+    c = sparse_corpus
+    stats = ["count", "min", "max", "mean"]
+    want = _collect_sorted(
+        zonal_stats_df(
+            c["zones"], spark.read.parquet(c["plain"]), c["datasets"],
+            dataset="sparse", stats=stats, prune_tiles=False,
+        )
+    )
+    got = _collect_sorted(
+        zonal_stats_df(
+            c["zones"], spark.read.parquet(c["plain"]), c["datasets"],
+            dataset="sparse", stats=stats, broadcast_zones=False,
+        )
+    )
+    assert want == got
+    meta = collect_dataset_meta(c["datasets"])
+    zones = c["zones"]
+    counts = zone_cell_counts(zones, meta)
+    pred = smj_bounds_filter(counts)
+    plan = (
+        spark.read.parquet(c["plain"]).filter(pred)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "tile_col" in plan
