@@ -31,6 +31,7 @@ from .zonal import (
     collect_dataset_meta,
     hybrid_big_zone_geoms,
     tile_prune_filter,
+    zone_cell_counts,
     zone_cover_cells,
 )
 
@@ -88,10 +89,28 @@ def zonal_crosstab_df(
     geoms_bc = None
     if broadcast_zones:
         geoms_bc = broadcast_zone_geoms(zdim)
-    elif hybrid_wkb_bytes is not None:
-        geoms_bc, big_keys = hybrid_big_zone_geoms(
-            zdim, meta, clip_to_grid=True, threshold_bytes=hybrid_wkb_bytes
-        )
+    else:
+        # SMJ regime: one distributed sizing pass feeds the hybrid-WKB
+        # selection AND the collect-free union-bbox scan fence; the
+        # class raster shares the grid, so the value-dataset bounds
+        # apply to both scans (dataset is re-filtered right below)
+        counts = zone_cell_counts(zdim, meta, clip_to_grid=True)
+        if hybrid_wkb_bytes is not None:
+            geoms_bc, big_keys = hybrid_big_zone_geoms(
+                zdim, meta, clip_to_grid=True,
+                threshold_bytes=hybrid_wkb_bytes, counts=counts,
+            )
+        b = counts.agg(
+            F.min("tc0").alias("tc0"), F.max("tc1").alias("tc1"),
+            F.min("tr0").alias("tr0"), F.max("tr1").alias("tr1"),
+        ).first()
+        if b["tc0"] is not None:
+            # dataset-agnostic bbox: both rasters share the grid and
+            # both scans must survive the fence
+            tiles = tiles.filter(F.expr(
+                f"tile_col BETWEEN {b['tc0']} AND {b['tc1']} AND "
+                f"tile_row BETWEEN {b['tr0']} AND {b['tr1']}"
+            ))
     cells = zone_cover_cells(
         zdim, meta, clip_to_grid=True, with_geometry=not broadcast_zones,
         null_wkb_keys=big_keys,
