@@ -571,30 +571,82 @@ def zone_cell_counts(
     )
 
 
-def smj_bounds_filter(counts: DataFrame):
-    """Scan pruning for the SMJ regime, where the zone geometries are
-    never collected: a per-dataset union tile-bbox aggregated
-    DISTRIBUTED from the sizing pass (one tiny row per dataset reaches
-    the driver). Coarser than the broadcast regime's per-zone ranges,
-    but free — and at planetary scale it still fences the scan to the
-    datasets' combined working extent. Superset-safe by the same window
-    math as the cover cells."""
-    rows = (
-        counts.groupBy("dataset")
-        .agg(
-            F.min("tc0").alias("tc0"),
-            F.max("tc1").alias("tc1"),
-            F.min("tr0").alias("tr0"),
-            F.max("tr1").alias("tr1"),
+def _morton_expr(colc, colr, level: int = 16):
+    """Morton interleave of two integer Columns (col bits even, row bits
+    odd) — the JVM-expression twin of kernel.quadkey."""
+    qk = None
+    for k in range(level):
+        cbit = F.shiftleft(
+            F.shiftright(colc, k).bitwiseAND(F.lit(1)).cast("long"), 2 * k
         )
-        .collect()
-    )
-    parts = [
-        f"(dataset = {_sql_str(r['dataset'])}"
-        f" AND tile_col BETWEEN {r['tc0']} AND {r['tc1']}"
-        f" AND tile_row BETWEEN {r['tr0']} AND {r['tr1']})"
-        for r in rows
-    ]
+        rbit = F.shiftleft(
+            F.shiftright(colr, k).bitwiseAND(F.lit(1)).cast("long"), 2 * k + 1
+        )
+        term = cbit.bitwiseOR(rbit)
+        qk = term if qk is None else qk.bitwiseOR(term)
+    return qk
+
+
+def smj_bounds_filter(counts: DataFrame, meta: dict | None = None):
+    """Scan pruning for the SMJ regime, where the zone geometries are
+    never collected. The per-zone tile windows from the sizing pass are
+    grouped DISTRIBUTED by the quad-prefix of each window's center
+    (≤64 Morton buckets per dataset, the same grid-adaptive shift the
+    partition transform uses) and each bucket's bounding rect is
+    aggregated — so only ≤64 tiny rect rows per dataset reach the
+    driver, and the predicate keeps near-per-zone granularity for
+    sparse scattered zone sets at ANY zone-set size. Without ``meta``
+    (grid dims unknown) it falls back to one union bbox per dataset.
+    Superset-safe by the same window math as the cover cells."""
+    if meta is not None:
+        from ..sources.tables import dataset_prefix_shifts
+
+        shifts = dataset_prefix_shifts(meta)
+        cc = ((F.col("tc0") + F.col("tc1")) / 2).cast("long")
+        cr = ((F.col("tr0") + F.col("tr1")) / 2).cast("long")
+        # negative centers (zones off-grid left/top with clip_to_grid
+        # False) break the bit interleave — clamp to 0 (bucketing only
+        # affects grouping tightness, never the rect bounds)
+        qk = _morton_expr(F.greatest(cc, F.lit(0)), F.greatest(cr, F.lit(0)))
+        shift_case = " ".join(
+            f"WHEN dataset = {_sql_str(ds)} THEN {sh}"
+            for ds, sh in shifts.items()
+        )
+        grouped = counts.withColumn("_qk", qk).withColumn(
+            "_b", F.expr(f"shiftright(_qk, CASE {shift_case} ELSE 0 END)")
+        ).groupBy("dataset", "_b")
+    else:
+        grouped = counts.groupBy("dataset")
+    rows = grouped.agg(
+        F.min("tc0").alias("tc0"),
+        F.max("tc1").alias("tc1"),
+        F.min("tr0").alias("tr0"),
+        F.max("tr1").alias("tr1"),
+    ).collect()
+    by_ds: dict = {}
+    for r in rows:
+        by_ds.setdefault(r["dataset"], []).append(
+            (r["tc0"], r["tc1"], r["tr0"], r["tr1"])
+        )
+    parts = []
+    for ds, rects in by_ds.items():
+        rects = _coalesce_rects(rects, 64)
+        u = (
+            min(r[0] for r in rects),
+            max(r[1] for r in rects),
+            min(r[2] for r in rects),
+            max(r[3] for r in rects),
+        )
+        cov = sum((r[1] - r[0] + 1) * (r[3] - r[2] + 1) for r in rects)
+        area = (u[1] - u[0] + 1) * (u[3] - u[2] + 1)
+        if len(rects) > 1 and cov > _DENSE_FRAC * area:
+            rects = [u]
+        rng = " OR ".join(
+            f"(tile_col BETWEEN {tc0} AND {tc1} "
+            f"AND tile_row BETWEEN {tr0} AND {tr1})"
+            for tc0, tc1, tr0, tr1 in rects
+        )
+        parts.append(f"(dataset = {_sql_str(ds)} AND ({rng}))")
     return F.expr(" OR ".join(parts)) if parts else None
 
 
@@ -1315,7 +1367,7 @@ def zonal_stats_df(
                 threshold_bytes=hybrid_wkb_bytes, counts=counts,
             )
         if prune_tiles:
-            pred = smj_bounds_filter(counts)
+            pred = smj_bounds_filter(counts, meta)
             if pred is not None:
                 tiles = tiles.filter(pred)
     cells = zone_cover_cells(

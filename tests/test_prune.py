@@ -422,9 +422,16 @@ def test_smj_regime_prunes_without_collecting_geoms(spark, sparse_corpus):
     meta = collect_dataset_meta(c["datasets"])
     zones = c["zones"]
     counts = zone_cell_counts(zones, meta)
-    pred = smj_bounds_filter(counts)
+    pred = smj_bounds_filter(counts, meta)
+    tiles_df = spark.read.parquet(c["plain"])
     plan = (
-        spark.read.parquet(c["plain"]).filter(pred)
+        tiles_df.filter(pred)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "tile_col" in plan
+    # per-zone granularity without any geometry collect: the 2 corner
+    # zones admit ~their own tiles, not the whole-grid union bbox
+    admitted = tiles_df.filter(pred).count()
+    assert admitted <= 64  # union bbox would admit all 4096
+    union_pred = smj_bounds_filter(counts)  # meta-less fallback
+    assert tiles_df.filter(union_pred).count() == 4096
