@@ -267,7 +267,9 @@ def q_zonal_band2(spark, sf_dir):
 
 def q_zonal_hd_sketch(spark, sf_dir):
     """Sketch-path zonal quantiles on the high-cardinality continuous float
-    corpus (slope_hd: 256×256, ~99% distinct values), holistic_mode='auto':
+    corpus (slope_hd: 256×256, ~99% distinct values), holistic_mode='sketch'
+    (forced — the size-aware 'auto' default correctly stays exact on this
+    parity-scale corpus, but this gate exists to exercise the sketch):
     the exact (value,count) merge would move ~1 pair per pixel, so partials
     emit bounded uniform-rank quantile summaries instead
     (kernel.sketch_weighted). count/min/max stay EXACT under the sketch;
@@ -278,7 +280,7 @@ def q_zonal_hd_sketch(spark, sf_dir):
         spark, "hd_zones", "slope_hd",
         stats=["count", "min", "max", "median",
                "percentile_25", "percentile_90"],
-        holistic_mode="auto", sketch_px=256,
+        holistic_mode="sketch", sketch_px=256,
     )
     return out.select(
         "zone_id",
@@ -558,6 +560,60 @@ def q_cli_zonalstats(spark, sf_dir):
         F.round("min", 6).alias("min_r"),
         F.round("max", 6).alias("max_r"),
         F.round("mean", 6).alias("mean_r"),
+    )
+
+
+def q_cli_pointquery(spark, sf_dir):
+    """CLI pointquery gate (§2.9, reference cli.py:88-131): run
+    `pointquery --interpolate bilinear --sequence` IN-PROCESS over the
+    fixture query points, parse the GeoJSON-sequence lines back into
+    (zone_id, vertex_idx, value) rows — same oracle as point_bilinear.
+    With cli_zonalstats this oracle-gates the WHOLE CLI surface."""
+    import contextlib
+    import io
+    import json
+    import tempfile
+
+    from python_rasterstats_spark import cli
+    from python_rasterstats_spark import geom as G
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    zrows = (
+        zones.filter(F.col("collection") == "query_points")
+        .orderBy("zone_id")
+        .collect()
+    )
+    feats = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": G.wkb_loads(bytes(r["geometry_wkb"]))}
+            for r in zrows
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".geojson", delete=False) as f:
+        json.dump(feats, f)
+        path = f.name
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "pointquery", path, "--corpus", FIX, "--dataset", "slope",
+            "--interpolate", "bilinear", "--sequence",
+        ])
+    os.unlink(path)
+    assert rc == 0
+    rows = []
+    for i, line in enumerate(l for l in buf.getvalue().splitlines() if l):
+        val = json.loads(line)["properties"]["value"]
+        vals = val if isinstance(val, list) else [val]
+        zid = int(zrows[i]["zone_id"])
+        for vi, v in enumerate(vals):
+            rows.append((zid, vi, None if v is None else float(v)))
+    df = spark.createDataFrame(
+        rows, "zone_id long, vertex_idx long, value double"
+    )
+    return df.select(
+        "zone_id", "vertex_idx", F.round("value", 6).alias("value_r")
     )
 
 
@@ -841,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_smj": q_zonal_smj,
         "zonal_addstats_scalable": q_zonal_addstats_scalable,
         "cli_zonalstats": q_cli_zonalstats,
+        "cli_pointquery": q_cli_pointquery,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_keep": q_doc_dedup_keep,
         "doc_token_stats": q_doc_token_stats,
@@ -1071,6 +1128,9 @@ SELECT zone_id, vertex_idx,
   END, 6) AS value_r
 FROM g
 """
+    # the CLI pointquery gate replays the same query points through the
+    # full CLI pipeline (GeoJSON in → engine → GeoJSON-sequence out)
+    sql["cli_pointquery"] = sql["point_bilinear"]
 
     sql["tile_decode_stats"] = (
         f"SELECT image_id, dataset, w, h, mean_r, min_r, max_r, valid_cnt, "

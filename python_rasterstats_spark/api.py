@@ -225,10 +225,25 @@ def gen_zonal_stats(
     # masked zone array -> gather tier (the reference's execution model);
     # (partial_fn, merge_fn, finalize_fn) triples run on the scalable
     # partial/merge path and never mosaic a zone into one task.
+    _is_triple = lambda v: isinstance(v, (tuple, list)) and len(v) == 3
     mergeable_add = bool(add_stats) and all(
-        isinstance(v, (tuple, list)) and len(v) == 3
-        for v in add_stats.values()
+        _is_triple(v) for v in add_stats.values()
     )
+    if add_stats and not mergeable_add and any(
+        _is_triple(v) for v in add_stats.values()
+    ):
+        # a mixed dict would route EVERYTHING to the gather tier, where a
+        # triple dies opaquely inside the executor (inspect.signature on a
+        # tuple) — fail fast on the driver instead
+        triples = sorted(k for k, v in add_stats.items() if _is_triple(v))
+        plains = sorted(k for k, v in add_stats.items() if not _is_triple(v))
+        raise ValueError(
+            "add_stats mixes (partial, merge, finalize) triples "
+            f"({triples}) with plain callables ({plains}); use one "
+            "protocol for the whole dict — all triples for the "
+            "distributed partial/merge path, or all plain callables for "
+            "the gather tier"
+        )
     use_gather = (bool(add_stats) and not mergeable_add) or raster_out or (
         zone_func is not None and zone_func_mode != "elementwise"
     )

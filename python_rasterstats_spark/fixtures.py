@@ -160,7 +160,7 @@ def build_arrays() -> dict:
         # high-cardinality continuous field (256×256, ~99% distinct float32
         # values): the sketch-path fixture — exact (value,count) merging
         # degenerates to one pair per pixel here, exercising
-        # holistic_mode='auto' (kernel.sketch_weighted)
+        # holistic_mode='sketch' (kernel.sketch_weighted)
         "slope_hd": (
             _smooth_field(256, 256, np.random.default_rng(SEED + 5)).astype(
                 np.float32

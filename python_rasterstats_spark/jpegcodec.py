@@ -480,6 +480,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         # marker id — skip them (some encoders align segments this way)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        assert pos + 1 < len(data), "truncated JPEG: stream ends in fill bytes"
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

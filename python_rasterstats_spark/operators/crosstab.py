@@ -61,6 +61,7 @@ def zonal_crosstab_df(
     broadcast_zones: bool = True,
     meta: dict | None = None,
     hybrid_wkb_bytes: int | None = 16 << 20,
+    quadkey_level: int = 16,
 ) -> DataFrame:
     """Per-(zone, class) statistics of ``value_dataset`` where
     ``class_dataset`` holds the class. Pixels are valid when covered by the
@@ -119,11 +120,14 @@ def zonal_crosstab_df(
         # scan-level pruning; the class raster shares the grid (validated
         # above) so the value-dataset key ranges apply to both scans
         qk = "quadkey" if "quadkey" in tiles.columns else None
-        pred = tile_prune_filter(geoms_bc.value, meta, quadkey_col=qk)
+        pred = tile_prune_filter(
+            geoms_bc.value, meta, quadkey_col=qk, quadkey_level=quadkey_level
+        )
         pred_c = tile_prune_filter(
             {(z, class_dataset): w for (z, _), w in geoms_bc.value.items()},
             meta,
             quadkey_col=qk,
+            quadkey_level=quadkey_level,
         )
         if pred is not None:
             tiles = tiles.filter(pred | pred_c)

@@ -70,6 +70,7 @@ def point_query_df(
     band: int = 1,
     broadcast_vertices: bool = True,
     prune_tiles: bool = True,
+    quadkey_level: int = 16,
 ) -> DataFrame:
     """Raster values at each vertex of each zone geometry (J3 kNN join:
     k=1 nearest / k=4 bilinear grid neighbors).
@@ -100,6 +101,7 @@ def point_query_df(
         pred = tile_prune_filter(
             gd, meta, pad_tiles=1,
             quadkey_col="quadkey" if "quadkey" in tiles.columns else None,
+            quadkey_level=quadkey_level,
             prefix_col="qk_prefix" if "qk_prefix" in tiles.columns else None,
         )
         if pred is not None:

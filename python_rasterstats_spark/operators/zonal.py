@@ -31,13 +31,17 @@ Scale properties:
 - skewed (continent-sized) zones fan out to one row per covering tile, so
   their partial work spreads across all executors; the salted pre-merge
   re-spreads the merge of hot zones (north_rule salting requirement).
-- holistic stats are exact by default: merged (value, count) pairs
+- holistic stats are exact at parity scale: merged (value, count) pairs
   reproduce np.percentile's linear interpolation and np.unique-order
-  tiebreaks (reference main.py:270-292, utils.py:117-122). On continuous
-  float rasters, where the exact domain degenerates to one pair per pixel,
-  ``holistic_mode='auto'|'sketch'`` bounds the shuffle with a deterministic
-  uniform-rank quantile summary (kernel.sketch_weighted) — count/min/max
-  stay exact, quantile rank error ≤ n/(8×sketch_px).
+  tiebreaks (reference main.py:270-292, utils.py:117-122). Past
+  ``auto_px_per_zone`` bbox pixels per zone the default
+  ``holistic_mode='auto'`` switches plans with no knob: on continuous
+  float rasters (exact domain degenerates to one pair per pixel) a
+  deterministic uniform-rank quantile summary bounds the shuffle
+  (kernel.sketch_weighted — count/min/max stay exact, quantile rank error
+  ≤ n/(8×sketch_px)); when the exact domain is required, a salted
+  two-stage exact merge spreads the hot zone instead. ``'exact'``/
+  ``'sketch'`` force either plan.
 """
 
 from __future__ import annotations
@@ -201,7 +205,15 @@ def _coalesce_rects(rects: list, max_rects: int) -> list:
         kept = uniq
     if len(kept) <= max_rects:
         return kept
-    kept.sort(key=lambda r: K.quadkey((r[0] + r[1]) // 2, (r[2] + r[3]) // 2))
+    # boundless windows (clip_to_grid=False) can have negative centers;
+    # K.quadkey rejects negatives — clamp for the SORT KEY only (mirrors
+    # the F.greatest clamp in smj_bounds_filter; grouping tightness may
+    # suffer at the grid edge, the emitted bounds never change)
+    kept.sort(
+        key=lambda r: K.quadkey(
+            max(0, (r[0] + r[1]) // 2), max(0, (r[2] + r[3]) // 2)
+        )
+    )
     per = math.ceil(len(kept) / max_rects)
     out = []
     for i in range(0, len(kept), per):
@@ -317,9 +329,12 @@ def quadkey_prune_ranges(
             # a grid wider than 2^level tiles overflows the Morton code
             # (with_quadkey drops the high bits, so distant tiles SHARE
             # codes); covering only the in-level window would silently
-            # EXCLUDE real tiles — emit no quadkey constraint for this
-            # dataset instead (superset-safe: its scan is unpruned)
-            out[ds] = [(0, (1 << (2 * level)) - 1)]
+            # EXCLUDE real tiles — and so would ANY finite BETWEEN list
+            # if storage was written at a HIGHER level than assumed here
+            # (stored codes can exceed 4^level - 1). Emit the None
+            # sentinel = no quadkey constraint at all for this dataset
+            # (superset-safe: its scan keeps only the dataset clause)
+            out[ds] = None
             continue
         # bound driver work for huge zone sets: past 4×max_ranges rects
         # the final cap collapses most ranges anyway, so coalesce rects
@@ -382,6 +397,13 @@ def tile_prune_filter(
             max_ranges=max_ranges,
         )
         for ds, ranges in by_ds.items():
+            if ranges is None:
+                # Morton overflow (grid wider than 2^quadkey_level):
+                # stored codes may exceed any range this level can
+                # express — keep only the dataset clause (unpruned scan
+                # for this dataset, never a wrong one)
+                parts.append(f"(dataset = {_sql_str(ds)})")
+                continue
             if not ranges:
                 continue
             span = ranges[-1][1] - ranges[0][0] + 1
@@ -535,7 +557,14 @@ def zone_cell_counts(
     distributed sizing pass behind the hybrid-WKB regime. ncells uses the
     same _zone_tile_window derivation as zone_cover_cells, so the
     wkb_bytes × ncells duplication estimate is exactly what the cell
-    generator would ship."""
+    generator would ship.
+
+    The returned DataFrame carries a row-counting accumulator
+    (``df._sizing_rows_acc``, also ``_LAST_SIZING_ACC``): each evaluation
+    adds one per zone row, so tests can assert the pass ran ONCE (the
+    caller persists it across its 2-3 consumers) — at 10⁹ zones a second
+    evaluation would be a second full zones scan."""
+    acc = zones.sparkSession.sparkContext.accumulator(0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -561,14 +590,66 @@ def zone_cell_counts(
                 rows["tc1"].append(tc1)
                 rows["tr0"].append(tr0)
                 rows["tr1"].append(tr1)
+            acc.add(len(rows["zone_id"]))
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
-    return spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
+    out = spread(zones.select("zone_id", "dataset", "geometry_wkb")).mapInPandas(
         gen,
         "zone_id long, dataset string, wkb_bytes long, ncells long, "
         "tc0 long, tc1 long, tr0 long, tr1 long",
     )
+    out._sizing_rows_acc = acc
+    global _LAST_SIZING_ACC
+    _LAST_SIZING_ACC = acc
+    return out
+
+
+# test hook: accumulator of the most recent sizing pass (see docstring)
+_LAST_SIZING_ACC = None
+
+
+def _max_zone_px(geoms: dict, meta: dict) -> int:
+    """Largest per-zone bbox pixel window over the collected zone dim —
+    the broadcast-regime size estimate feeding the auto holistic plan
+    (superset of true zone pixels; same bounds math as the cover cells)."""
+    mx = 0
+    for (_zid, ds), wkb in geoms.items():
+        m = meta.get(ds)
+        if m is None:
+            continue
+        geom = _effective_geom(wkb, m["affine"])
+        (r0, r1), (c0, c1) = K.bounds_window(G.geom_bounds(geom), m["affine"])
+        mx = max(mx, max(0, r1 - r0) * max(0, c1 - c0))
+    return mx
+
+
+def auto_holistic_plan(
+    est_px: int,
+    *,
+    want_exact_domain: bool,
+    continuous: bool,
+    threshold_px: int,
+) -> str:
+    """The driver-side heuristic behind ``holistic_mode='auto'`` (the
+    default): returns 'exact', 'sketch' or 'salt'.
+
+    - est_px ≤ threshold: 'exact' — every parity-scale corpus lands here
+      (bit-equal to the reference; kernel merge cost is trivial).
+    - above threshold, quantiles-only on a CONTINUOUS (float) raster:
+      'sketch' — the exact (value,count) merge would move ~1 pair per
+      pixel for a continent zone (no duplicates to collapse); the bounded
+      quantile summary is the only plan whose state doesn't grow with px.
+    - above threshold otherwise (exact value domain required, or integer
+      raster whose bounded domain collapses under merge): 'salt' — exact
+      results, two-stage salted pre-merge so no single task folds the hot
+      zone alone.
+    """
+    if est_px <= threshold_px:
+        return "exact"
+    if continuous and not want_exact_domain:
+        return "sketch"
+    return "salt"
 
 
 def _morton_expr(colc, colr, level: int = 16):
@@ -1247,7 +1328,8 @@ def zonal_stats_df(
     broadcast_zones: bool = True,
     max_cells_per_zone: int = 4_000_000,
     holistic_salt: int | None = None,
-    holistic_mode: str = "exact",
+    holistic_mode: str = "auto",
+    auto_px_per_zone: int = 8 << 20,
     sketch_px: int = 1024,
     meta: dict | None = None,
     band: int = 1,
@@ -1255,6 +1337,7 @@ def zonal_stats_df(
     add_stats: dict | None = None,
     prune_tiles: bool = True,
     hybrid_wkb_bytes: int | None = 16 << 20,
+    quadkey_level: int = 16,
 ) -> DataFrame:
     """Zonal statistics of the tile corpus aggregated to zone geometries.
 
@@ -1285,6 +1368,18 @@ def zonal_stats_df(
     ``bands=[1, 2, ...]`` computes stats for SEVERAL bands in one pass —
     each payload decoded once, each zone rasterized once per covering tile,
     output long format with a ``band`` column (one row per zone × band).
+
+    ``holistic_mode`` (median/percentiles/majority/minority/unique/
+    value_counts execution): ``'auto'`` (default) picks the plan from the
+    per-zone size estimate the regime already has (the collected zone dim,
+    or the SMJ sizing pass) — zones up to ``auto_px_per_zone`` bbox pixels
+    run the EXACT merge (bit-equal to the reference; every parity corpus),
+    larger zones pick the deterministic quantile sketch when only
+    quantiles are wanted on a continuous float raster, else a salted
+    two-stage exact merge (see auto_holistic_plan). ``'exact'`` forces the
+    exact merge at any size, ``'sketch'`` forces the bounded summary
+    (quantiles only), ``'exploded'`` runs the distributed (zone, value)
+    JVM aggregation.
     """
     stats, run_count = K.check_stats(stats, categorical)
     pctiles = [s for s in stats if s.startswith("percentile_")]
@@ -1320,9 +1415,13 @@ def zonal_stats_df(
             "value_counts — those stats need the exact value domain"
         )
     use_sketch = (
-        want_holistic
-        and not want_exact_domain
-        and holistic_mode in ("auto", "sketch")
+        want_holistic and not want_exact_domain and holistic_mode == "sketch"
+    )
+    # 'auto' (the default) defers the exact/sketch/salt choice until the
+    # per-zone size estimate is available below — parity-small corpora
+    # stay EXACT, planetary zones pick the scale plan with no knob
+    auto_holistic = (
+        holistic_mode == "auto" and (want_holistic or want_vc)
     )
 
     meta = meta if meta is not None else collect_dataset_meta(datasets)
@@ -1352,24 +1451,70 @@ def zonal_stats_df(
     # carry NULL (the hybrid regime; None disables the sizing pass).
     big_keys: frozenset = frozenset()
     geoms_bc = None
+    est_px = 0  # auto-holistic size estimate (filled per regime below)
     if broadcast_zones:
         geoms_bc = broadcast_zone_geoms(zones)
-    elif hybrid_wkb_bytes is not None or prune_tiles:
-        # SMJ regime: one distributed sizing pass over the zone table
-        # feeds both the hybrid-WKB selection and the (collect-free)
-        # per-dataset union-bbox scan filter; the pass is recomputed per
-        # consumer — it is a cheap column-pruned zones scan next to the
-        # tile work it saves
+        if auto_holistic:
+            est_px = _max_zone_px(geoms_bc.value, meta)
+    elif hybrid_wkb_bytes is not None or prune_tiles or auto_holistic:
+        # SMJ regime: ONE distributed sizing pass over the zone table
+        # feeds the hybrid-WKB selection, the (collect-free) scan fence
+        # AND the auto-holistic size estimate; the tiny result (8 narrow
+        # columns/zone) is persisted across its consumers so the zones
+        # table is scanned exactly once (asserted in tests/test_prune.py
+        # via the sizing accumulator)
         counts = zone_cell_counts(zones, meta, clip_to_grid=not need_missing)
-        if hybrid_wkb_bytes is not None:
-            geoms_bc, big_keys = hybrid_big_zone_geoms(
-                zones, meta, clip_to_grid=not need_missing,
-                threshold_bytes=hybrid_wkb_bytes, counts=counts,
-            )
-        if prune_tiles:
-            pred = smj_bounds_filter(counts, meta)
-            if pred is not None:
-                tiles = tiles.filter(pred)
+        consumers = (
+            (hybrid_wkb_bytes is not None) + prune_tiles + auto_holistic
+        )
+        if consumers > 1:
+            counts = counts.persist()
+        try:
+            if hybrid_wkb_bytes is not None:
+                geoms_bc, big_keys = hybrid_big_zone_geoms(
+                    zones, meta, clip_to_grid=not need_missing,
+                    threshold_bytes=hybrid_wkb_bytes, counts=counts,
+                )
+            if prune_tiles:
+                pred = smj_bounds_filter(counts, meta)
+                if pred is not None:
+                    tiles = tiles.filter(pred)
+            if auto_holistic:
+                est_px = max(
+                    (
+                        r["mx"] * meta[r["dataset"]]["tile_w"]
+                        * meta[r["dataset"]]["tile_h"]
+                        for r in counts.groupBy("dataset")
+                        .agg(F.max("ncells").alias("mx"))
+                        .collect()
+                        if r["dataset"] in meta
+                    ),
+                    default=0,
+                )
+        finally:
+            if consumers > 1:
+                counts.unpersist()
+    if auto_holistic:
+        refd_ds = (
+            [dataset] if dataset is not None
+            else sorted({ds for _, ds in geoms_bc.value}) if broadcast_zones
+            else list(meta)
+        )
+        continuous = all(
+            np.issubdtype(np.dtype(meta[d].get("dtype", "float64")), np.floating)
+            for d in refd_ds
+            if d in meta
+        )
+        plan = auto_holistic_plan(
+            est_px,
+            want_exact_domain=want_exact_domain,
+            continuous=continuous,
+            threshold_px=auto_px_per_zone,
+        )
+        if plan == "sketch":
+            use_sketch = want_holistic
+        elif plan == "salt" and holistic_salt is None:
+            holistic_salt = 16
     cells = zone_cover_cells(
         zones, meta, clip_to_grid=not need_missing,
         max_cells_per_zone=max_cells_per_zone,
@@ -1387,6 +1532,7 @@ def zonal_stats_df(
         pred = tile_prune_filter(
             geoms_bc.value, meta,
             quadkey_col="quadkey" if "quadkey" in tiles.columns else None,
+            quadkey_level=quadkey_level,
             prefix_col="qk_prefix" if "qk_prefix" in tiles.columns else None,
         )
         if pred is not None:

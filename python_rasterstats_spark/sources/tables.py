@@ -147,7 +147,12 @@ def with_quadkey(
 
 
 def write_quadkey_sorted_tiles(
-    tiles: DataFrame, path: str, *, level: int = 16, files: int | None = None
+    tiles: DataFrame,
+    path: str,
+    *,
+    level: int = 16,
+    files: int | None = None,
+    row_group_bytes: int = 8 << 20,
 ) -> None:
     """Persist the tile table range-partitioned + sorted by (dataset,
     quadkey) — the storage layout that makes PER-ZONE scan pruning
@@ -156,13 +161,28 @@ def write_quadkey_sorted_tiles(
     sparse zone set over a planet-sized corpus reads only its working
     set. On a real warehouse this is Iceberg's sort-order/partition
     transform on the Morton key; plain parquet gets the same row-group
-    min-max skipping from the sort alone."""
+    min-max skipping from the sort alone.
+
+    ``row_group_bytes`` caps the parquet row-group size (default 8 MiB vs
+    parquet's 128 MiB default): the row group is the min-max skipping
+    granule, so with payload-bearing tile rows the default would make
+    every admitted group drag ~128 MiB of neighbors along — the r4 audit
+    measured 36 MiB/group costing 2.25× the bytes the per-zone rect
+    predicate reads; 8 MiB groups put sorted storage BELOW it (BENCH.md
+    sparse-zone table). The reference analog is the per-feature windowed
+    read (io.py:292-362): read the window, not the strip it lives in."""
     n = files or tiles.sparkSession.sparkContext.defaultParallelism
     (
         with_quadkey(tiles, level=level)
         .repartitionByRange(n, "dataset", "quadkey")
         .sortWithinPartitions("dataset", "quadkey")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(row_group_bytes))
+        # parquet-mr checks accumulated size only every ≥100 records by
+        # default — at ~256 KiB/tile row that floors groups at ~25 MiB
+        # regardless of block.size; check every few rows instead
+        .option("parquet.page.size.row.check.min", "4")
+        .option("parquet.page.size.row.check.max", "64")
         .parquet(path)
     )
 
@@ -192,7 +212,12 @@ def dataset_prefix_shifts(meta: dict) -> dict:
 
 
 def write_quadkey_partitioned_tiles(
-    tiles: DataFrame, datasets: DataFrame, path: str, *, level: int = 16
+    tiles: DataFrame,
+    datasets: DataFrame,
+    path: str,
+    *,
+    level: int = 16,
+    row_group_bytes: int = 8 << 20,
 ) -> None:
     """Persist the tile table PARTITIONED by the quad-prefix of its
     quadkey (``qk_prefix = quadkey >> shift(dataset)``, ≤64 directories
@@ -209,8 +234,12 @@ def write_quadkey_partitioned_tiles(
 
     shifts = dataset_prefix_shifts(collect_dataset_meta(datasets))
     qk = with_quadkey(tiles, level=level)
+
+    def _q(s: str) -> str:  # same escaping as the pruning predicates
+        return "'" + s.replace("'", "''") + "'"
+
     cases = " ".join(
-        f"WHEN dataset = '{ds}' THEN shiftright(quadkey, {sh})"
+        f"WHEN dataset = {_q(ds)} THEN shiftright(quadkey, {sh})"
         for ds, sh in shifts.items()
     )
     (
@@ -220,6 +249,9 @@ def write_quadkey_partitioned_tiles(
         .repartition("qk_prefix")
         .sortWithinPartitions("qk_prefix", "quadkey")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(row_group_bytes))
+        .option("parquet.page.size.row.check.min", "4")
+        .option("parquet.page.size.row.check.max", "64")
         .partitionBy("qk_prefix")
         .parquet(path)
     )

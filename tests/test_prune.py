@@ -369,11 +369,13 @@ def test_multi_dataset_grids_get_independent_prefix_shifts(spark, tmp_path):
     assert all(r[1] > 0 for r in want)
 
 
-def test_quadkey_overflow_grid_falls_back_to_full_range():
+def test_quadkey_overflow_grid_falls_back_to_no_constraint():
     """A dataset grid wider than 2^level tiles overflows the Morton code
-    (high bits dropped → distant tiles SHARE codes). The range builder
-    must emit the full-code-space range (no pruning) rather than a
-    partial cover that would silently exclude real tiles."""
+    (high bits dropped → distant tiles SHARE codes, and codes written at
+    a HIGHER storage level exceed 4^level-1). The range builder must emit
+    the no-constraint sentinel (None → dataset clause only) rather than
+    ANY finite range list, which would silently exclude real tiles
+    (ADVICE r4 #1)."""
     import python_rasterstats_spark.geom as G
 
     # 50k-tile-wide grid: overflows the level-6 code space (64 tiles)
@@ -388,10 +390,10 @@ def test_quadkey_overflow_grid_falls_back_to_full_range():
     geom = G.parse_feature(wkt)["geometry"]
     gd = {(0, "huge"): G.wkb_dumps(geom)}
     ranges = quadkey_prune_ranges(gd, m, level=LEVEL)["huge"]
-    assert ranges == [(0, 4 ** LEVEL - 1)]  # full space: superset-safe
+    assert ranges is None  # no quadkey constraint: superset-safe
     # and the same zone at level 16 (fits) prunes normally
     r16 = quadkey_prune_ranges(gd, m, level=16)["huge"]
-    assert r16 != [(0, 4 ** 16 - 1)] and len(r16) >= 1
+    assert r16 is not None and len(r16) >= 1
 
 
 def test_smj_regime_prunes_without_collecting_geoms(spark, sparse_corpus):
@@ -435,3 +437,51 @@ def test_smj_regime_prunes_without_collecting_geoms(spark, sparse_corpus):
     assert admitted <= 64  # union bbox would admit all 4096
     union_pred = smj_bounds_filter(counts)  # meta-less fallback
     assert tiles_df.filter(union_pred).count() == 4096
+
+
+def test_sorted_writer_rowgroup_sizing_beats_rects(spark, sparse_corpus, tmp_path):
+    """r5 (VERDICT r4 'Next round #2'): write_quadkey_sorted_tiles now caps
+    parquet row-group bytes, so the Morton sort's locality reaches the
+    skipping granule. Audit (same pyarrow min-max admission the reader
+    uses): bytes-must-read under per-zone quadkey ranges on the sized
+    sorted file ≤ bytes under the per-zone rect predicate on the plain
+    row-major corpus at the SAME granularity — the r4 residue was sorted
+    storage losing to rects purely on 36 MiB groups."""
+    import pyarrow as pa
+
+    from python_rasterstats_spark.operators.zonal import (
+        _zone_tile_rects, collect_dataset_meta, quadkey_prune_ranges,
+    )
+    from python_rasterstats_spark.sources.tables import (
+        write_quadkey_sorted_tiles,
+    )
+    from tools.audit_prune_bytes import admit_bytes, qk_admit, rect_admit
+
+    c = sparse_corpus
+    meta = collect_dataset_meta(c["datasets"])
+    gd = _zone_geom_dict(c["zones"])
+
+    # plain corpus re-written at the same granularity for a fair audit
+    gran = 64 << 10
+    plain_pdf = spark.read.parquet(c["plain"]).toPandas()
+    plain_rg = os.path.join(tmp_path, "plain_rg.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(plain_pdf, preserve_index=False), plain_rg,
+        row_group_size=max(1, gran // (16 * 16 * 4)),
+    )
+    qk_path = os.path.join(tmp_path, "qk_sized")
+    write_quadkey_sorted_tiles(
+        spark.read.parquet(c["plain"]), qk_path, level=LEVEL, files=1,
+        row_group_bytes=gran,
+    )
+
+    rects = _zone_tile_rects(gd, meta)["sparse"]
+    ranges = quadkey_prune_ranges(gd, meta, level=LEVEL)["sparse"]
+    adm_r, tot_r, by_rect = admit_bytes(plain_rg, rect_admit(rects))
+    adm_q, tot_q, by_qk = admit_bytes(qk_path, qk_admit(ranges))
+    # the writer option took effect: many small groups, not one big one
+    assert tot_q >= 16, f"row-group sizing ignored ({tot_q} groups)"
+    # the layout's win: sorted-storage must-read ≤ the rect number, and
+    # both admit a small fraction of the corpus
+    assert by_qk <= by_rect, (by_qk, by_rect)
+    assert adm_q * 4 <= tot_q

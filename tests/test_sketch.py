@@ -2,16 +2,17 @@
 (VERDICT r1 'What's missing #2' / 'Next round #1').
 
 Exact (value,count) merging degenerates to one pair per pixel on
-high-cardinality data; holistic_mode='auto'|'sketch' bounds the shuffled
-state with a deterministic uniform-rank quantile summary
-(kernel.sketch_weighted). Contracts tested here:
+high-cardinality data; holistic_mode='sketch' (or 'auto' past the
+per-zone size threshold) bounds the shuffled state with a deterministic
+uniform-rank quantile summary (kernel.sketch_weighted). Contracts tested
+here:
 
 - count / min / max are EXACT under the sketch;
 - quantile rank error ≤ n/S per compression (value error measured ≲0.02 on
   the slope_hd fixture — and well inside the integer rounding the gated
   zonal_hd_sketch query relies on, with margin);
-- holistic_mode defaults to 'exact' (strict reference parity, bit-equal
-  medians);
+- the default ('auto') is EXACT at parity scale (bit-equal medians), and
+  the size-aware plan choice is deterministic (test_auto_holistic_*);
 - 'sketch' refuses stats that need the exact value domain.
 """
 
@@ -93,7 +94,7 @@ def test_partial_sketch_bounds_state_size(corpus):
 
 
 def test_sketch_operator_accuracy_and_gate_margin(corpus):
-    """auto-mode quantiles vs exact on slope_hd: the documented tolerance
+    """sketch-mode quantiles vs exact on slope_hd: the documented tolerance
     plus the integer-rounding margin the gated query depends on."""
     tiles, zones, datasets = corpus
     z = zones.filter(F.col("collection") == "hd_zones")
@@ -101,7 +102,7 @@ def test_sketch_operator_accuracy_and_gate_margin(corpus):
         z, tiles, datasets, dataset="slope_hd", stats=STATS).collect()}
     sk = {r["zone_id"]: r.asDict() for r in zonal_stats_df(
         z, tiles, datasets, dataset="slope_hd", stats=STATS,
-        holistic_mode="auto", sketch_px=256).collect()}
+        holistic_mode="sketch", sketch_px=256).collect()}
     assert sorted(exact) == sorted(sk)
     for zid in exact:
         e, s = exact[zid], sk[zid]
