@@ -489,6 +489,70 @@ def q_zonal_smj(spark, sf_dir):
     )
 
 
+def q_zonal_smj_holistic(spark, sf_dir):
+    """SMJ regime × holistic merge gate (r5): broadcast_zones=False with
+    the FULL stat set — the persisted sizing pass feeds the hybrid-WKB
+    selection, the collect-free scan fence AND the size-aware auto
+    holistic plan in one zones scan, then the exact (value,count) merge
+    runs downstream of the tile-key shuffle. Exactness is regime-
+    independent, so the oracle is shared with zonal_all_stats."""
+    out = _zonal(
+        spark, "polygons", "slope",
+        stats="count min max mean sum std median majority minority unique "
+              "range nodata nan percentile_25 percentile_90",
+        broadcast_zones=False,
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+        F.round("sum", 6).alias("sum_r"),
+        F.round("std", 6).alias("std_r"),
+        F.round("median", 6).alias("median_r"),
+        F.round("majority", 6).alias("majority_r"),
+        F.round("minority", 6).alias("minority_r"),
+        F.col("unique").alias("uniq"),
+        F.round("range", 6).alias("range_r"),
+        F.col("nodata").alias("nodata_cnt"),
+        F.col("nan").alias("nan_cnt"),
+        F.round("percentile_25", 6).alias("p25_r"),
+        F.round("percentile_90", 6).alias("p90_r"),
+    )
+
+
+def q_zonal_qk_part_prune(spark, sf_dir):
+    """Quad-prefix PARTITIONED storage gate (r5): tiles are persisted by
+    write_quadkey_partitioned_tiles (qk_prefix directories + quadkey-
+    sorted, sized row groups), so the scan prunes at THREE levels —
+    directory listing (PartitionFilters on qk_prefix), row-group min-max
+    (quadkey), residual row filter. Pruning is a strict superset filter,
+    so the answer equals zonal_default — shared oracle."""
+    import tempfile
+
+    from python_rasterstats_spark.fixtures import ensure_fixtures
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.tables import (
+        load_corpus, write_quadkey_partitioned_tiles,
+    )
+
+    tiles, zones, datasets = load_corpus(spark, ensure_fixtures(FIX))
+    path = os.path.join(tempfile.gettempdir(), "prs_gate_qk_part")
+    write_quadkey_partitioned_tiles(tiles, datasets, path)
+    out = zonal_stats_df(
+        zones.filter(F.col("collection") == "polygons"),
+        spark.read.parquet(path), datasets, dataset="slope",
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
 def q_zonal_addstats_scalable(spark, sf_dir):
     """Scalable add_stats protocol (SURVEY §2.4 A18): a user sum-of-squares
     stat as a (partial, merge, finalize) triple running on the distributed
@@ -895,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "zonal_topk": q_zonal_topk,
         "zonal_smj": q_zonal_smj,
+        "zonal_smj_holistic": q_zonal_smj_holistic,
+        "zonal_qk_part_prune": q_zonal_qk_part_prune,
         "zonal_addstats_scalable": q_zonal_addstats_scalable,
         "cli_zonalstats": q_cli_zonalstats,
         "cli_pointquery": q_cli_pointquery,
@@ -1011,7 +1077,9 @@ GROUP BY v.zone_id
     # same zones/dataset/valid-pixel set as zonal_default: the SMJ-regime
     # run and the CLI run must produce the broadcast plan's exact answer
     sql["zonal_smj"] = sql["zonal_default"]
+    sql["zonal_smj_holistic"] = sql["zonal_all_stats"]
     sql["zonal_qk_prune"] = sql["zonal_default"]
+    sql["zonal_qk_part_prune"] = sql["zonal_default"]
     sql["cli_zonalstats"] = sql["zonal_default"]
 
     sql["zonal_addstats_scalable"] = _valid_join("'polygons_slope_default'") + """

@@ -97,6 +97,9 @@ def zonal_crosstab_df(
         # apply to both scans (dataset is re-filtered right below)
         counts = zone_cell_counts(zdim, meta, clip_to_grid=True)
         if hybrid_wkb_bytes is not None:
+            # two consumers (hybrid selection + scan fence): persist so
+            # the zones table is scanned once, same as zonal_stats_df
+            counts = counts.persist()
             geoms_bc, big_keys = hybrid_big_zone_geoms(
                 zdim, meta, clip_to_grid=True,
                 threshold_bytes=hybrid_wkb_bytes, counts=counts,
@@ -105,6 +108,8 @@ def zonal_crosstab_df(
             F.min("tc0").alias("tc0"), F.max("tc1").alias("tc1"),
             F.min("tr0").alias("tr0"), F.max("tr1").alias("tr1"),
         ).first()
+        if hybrid_wkb_bytes is not None:
+            counts.unpersist()
         if b["tc0"] is not None:
             # dataset-agnostic bbox: both rasters share the grid and
             # both scans must survive the fence
