@@ -315,6 +315,31 @@ def q_zonal_crosstab(spark, sf_dir):
     )
 
 
+def q_zonal_crosstab_smj(spark, sf_dir):
+    """Crosstab in the SMJ regime (r5): broadcast_zones=False — WKB rides
+    the cells through the tile-key shuffle, bounded by the PERSISTED
+    sizing pass (one zones scan feeds hybrid-WKB selection + scan fence,
+    crosstab.py). Exactness is regime-independent — oracle shared with
+    zonal_crosstab."""
+    from python_rasterstats_spark.operators.crosstab import zonal_crosstab_df
+
+    tiles, zones, datasets = _fixture_corpus(spark)
+    out = zonal_crosstab_df(
+        zones.filter(F.col("collection") == "polygons"), tiles, datasets,
+        value_dataset="slope", class_dataset="slope_classes",
+        broadcast_zones=False,
+    )
+    return out.select(
+        "zone_id", F.col("class").alias("cls"),
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+        F.round("sum", 6).alias("sum_r"),
+        F.round("std", 6).alias("std_r"),
+    )
+
+
 def q_zonal_multiband(spark, sf_dir):
     """One-pass per-band zonal stats (bands=[1,2] over slope_bands: decode
     once, rasterize once, stats per band; band 2 is exactly 2×slope in
@@ -953,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster_out": q_zonal_raster_out,
         "zonal_api_surface": q_zonal_api_surface,
         "zonal_crosstab": q_zonal_crosstab,
+        "zonal_crosstab_smj": q_zonal_crosstab_smj,
         "zonal_multiband": q_zonal_multiband,
         "zonal_gather_addstats": q_zonal_gather_addstats,
         "event_sessions": q_event_sessions,
@@ -1277,6 +1303,7 @@ JOIN v ON v.prow = cover.prow AND v.pcol = cover.pcol
 JOIN c ON c.prow = cover.prow AND c.pcol = cover.pcol
 GROUP BY cover.zone_id, c.cls
 """
+    sql["zonal_crosstab_smj"] = sql["zonal_crosstab"]
 
     sql["zonal_multiband"] = _valid_join("'polygons_slope_default'") + """
 , v AS (SELECT zone_id, value FROM j WHERE NOT bad_nodata AND NOT bad_nan),
