@@ -164,6 +164,26 @@ def point_query_df(
     # the vertex-window table is tiny by construction — persist it so the
     # vkeys branch below doesn't recompute the explode
     windows = windows.persist()
+    if prune_tiles and not broadcast_vertices:
+        # SMJ regime (vertex set too large to collect): fence the tile
+        # scan with the same collect-free Morton-bucketed rect aggregation
+        # zonal uses (smj_bounds_filter) — the persisted window table
+        # already carries the exact tile keys, so each key is its own
+        # degenerate rect and only ≤64 tiny rows per dataset reach the
+        # driver. Superset-safe: dropped tiles join no window; missing
+        # tiles are reinstated as NULL via vkeys exactly as before.
+        from .zonal import smj_bounds_filter
+
+        wrects = windows.select(
+            "dataset",
+            F.col("tile_col").cast("long").alias("tc0"),
+            F.col("tile_col").cast("long").alias("tc1"),
+            F.col("tile_row").cast("long").alias("tr0"),
+            F.col("tile_row").cast("long").alias("tr1"),
+        )
+        pred = smj_bounds_filter(wrects, meta)
+        if pred is not None:
+            tiles = tiles.filter(pred)
     # INNER broadcast join (a left join can't broadcast its left side and
     # would shuffle the tile table); vertices whose tiles are all missing
     # are reinstated as NULL after interpolation via vkeys

@@ -485,3 +485,42 @@ def test_sorted_writer_rowgroup_sizing_beats_rects(spark, sparse_corpus, tmp_pat
     # both admit a small fraction of the corpus
     assert by_qk <= by_rect, (by_qk, by_rect)
     assert adm_q * 4 <= tot_q
+
+
+def test_point_query_smj_regime_fenced_and_matches(spark, sparse_corpus):
+    """r5: the point operator's SMJ regime (broadcast_vertices=False —
+    vertex sets too large to collect) now fences the tile scan with the
+    same collect-free Morton-bucketed rect aggregation zonal uses, fed by
+    the already-persisted vertex-window table. Results equal the
+    broadcast regime; the predicate reaches the scan and admits ~the
+    working set, not the corpus."""
+    from python_rasterstats_spark.operators.point import point_query_df
+    from python_rasterstats_spark.operators.zonal import (
+        collect_dataset_meta, smj_bounds_filter,
+    )
+
+    c = sparse_corpus
+    want = _collect_sorted(
+        point_query_df(
+            c["zones"], spark.read.parquet(c["plain"]), c["datasets"],
+            dataset="sparse", interpolate="bilinear",
+        )
+    )
+    got = _collect_sorted(
+        point_query_df(
+            c["zones"], spark.read.parquet(c["plain"]), c["datasets"],
+            dataset="sparse", interpolate="bilinear",
+            broadcast_vertices=False,
+        )
+    )
+    assert want == got and len(want) > 0
+    # the fence itself: vertex-window tile keys → ≤64 rects → predicate
+    meta = collect_dataset_meta(c["datasets"])
+    tiles_df = spark.read.parquet(c["plain"])
+    zrows = c["zones"].select("zone_id", "dataset", "geometry_wkb")
+    from python_rasterstats_spark.operators.zonal import zone_cell_counts
+
+    counts = zone_cell_counts(zrows, meta)
+    pred = smj_bounds_filter(counts, meta)
+    admitted = tiles_df.filter(pred).count()
+    assert admitted <= 64  # two corner zones: not the 4096-tile corpus
