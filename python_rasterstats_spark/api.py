@@ -61,20 +61,46 @@ def _resolve_raster(spark, raster, affine, nodata, band, tile=256):
     if isinstance(raster, TileRaster):
         return raster.tiles, raster.datasets, raster.dataset
     if isinstance(raster, (str, os.PathLike)):
-        # GDAL raster paths behind a soft rasterio import (reference
-        # io.py:276-285); the zero-GDAL core otherwise raises helpfully
+        # raster paths: rasterio/GDAL when installed (any format);
+        # otherwise the engine's own GeoTIFF reader (tiffcodec —
+        # TIFF 6.0 + GeoTIFF from scratch, reference io.py:276-285)
         try:
             import rasterio
-        except ImportError as exc:
-            raise ValueError(
-                "reading raster files requires the optional 'rasterio' "
-                "package, which is not installed; pass a numpy array + "
-                "affine or a TileRaster corpus handle instead"
-            ) from exc
-        with rasterio.open(raster) as src:
-            arr = src.read(band)
-            src_nodata = src.nodata
-            aff = tuple(src.transform)[:6]
+        except ImportError:
+            rasterio = None
+        if rasterio is not None:
+            with rasterio.open(raster) as src:
+                arr = src.read(band)
+                src_nodata = src.nodata
+                aff = tuple(src.transform)[:6]
+        else:
+            if not os.path.exists(raster):
+                # reference parity: a missing raster path is an OSError
+                # (rasterio raises RasterioIOError ⊂ OSError)
+                raise OSError(f"{raster}: No such file or directory")
+            from .tiffcodec import TiffError, read_geotiff
+
+            try:
+                arr, aff, src_nodata = read_geotiff(raster)
+            except TiffError as exc:
+                raise ValueError(
+                    "reading this raster format requires the optional "
+                    "'rasterio' package, which is not installed; the "
+                    "built-in reader covers GeoTIFF paths — otherwise "
+                    "pass a numpy array + affine or a TileRaster corpus "
+                    f"handle instead ({exc})"
+                ) from exc
+            if arr.ndim == 3:
+                if band > arr.shape[0] or band < 1:
+                    raise ValueError(f"band {band} out of range")
+                arr = arr[band - 1]
+            if aff is None:
+                if affine is None:
+                    raise ValueError(
+                        f"{raster} carries no georeferencing (no GeoTIFF "
+                        "keys); pass affine= explicitly"
+                    )
+                aff = _affine_tuple(affine)
         eff_nodata = nodata if nodata is not None else src_nodata
         if eff_nodata is None:
             warnings.warn(

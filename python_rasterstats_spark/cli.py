@@ -28,6 +28,8 @@ RS = "\x1e"  # RFC 8142 record separator (reference cli.py:125-131)
 def _read_features_arg(arg: str) -> str:
     if arg == "-":
         return sys.stdin.read()
+    if arg.lower().endswith(".shp"):
+        return arg  # binary vector path: read_features dispatches to shpcodec
     with open(arg) as f:
         return f.read()
 
@@ -45,12 +47,18 @@ def _resolve_raster(spark, args):
             raise SystemExit("--dataset is required with --corpus")
         return TileRaster(tiles, datasets, args.dataset), None
     if args.raster:
+        if args.raster.lower().endswith((".tif", ".tiff")):
+            # GeoTIFF: georeferencing + nodata come from the file itself
+            # (tiffcodec / rasterio via api._resolve_raster)
+            return args.raster, None
         if not args.affine:
             raise SystemExit("--affine 'a b c d e f' is required with --raster")
         arr = np.load(args.raster, allow_pickle=False)
         aff = tuple(float(v) for v in args.affine.split())
         return arr, aff
-    raise SystemExit("provide --corpus DIR --dataset NAME, or --raster FILE.npy")
+    raise SystemExit(
+        "provide --corpus DIR --dataset NAME, or --raster FILE.npy|.tif"
+    )
 
 
 def _emit(features: list, args) -> None:

@@ -485,18 +485,32 @@ def read_features(obj, layer: int = 0):
 
 
 def _fiona_features(path: str, layer: int = 0):
-    """Vector-file ingestion behind a soft fiona import (reference
-    io.py:36-45 fiona_generator / io.py:94-109 path branch)."""
+    """Vector-file ingestion (reference io.py:36-45 fiona_generator /
+    io.py:94-109 path branch): fiona/OGR when installed (any OGR format);
+    otherwise the engine's own from-scratch readers cover the common
+    cases — ESRI Shapefile (shpcodec, public spec) and GeoJSON files —
+    so vector file paths work in GDAL-free environments too."""
     try:
         import fiona
-    except ImportError as exc:
-        raise ValueError(
-            "reading vector files requires the optional 'fiona' package, "
-            "which is not installed; pass WKT/WKB/GeoJSON/__geo_interface__ "
-            "features or parquet zone tables instead"
-        ) from exc
-    with fiona.open(path, "r", layer=layer) as src:
-        return [parse_feature(dict(f)) for f in src]
+    except ImportError:
+        fiona = None
+    if fiona is not None:
+        with fiona.open(path, "r", layer=layer) as src:
+            return [parse_feature(dict(f)) for f in src]
+    low = str(path).lower()
+    if low.endswith(".shp"):
+        from .shpcodec import read_shapefile
+
+        return [parse_feature(f) for f in read_shapefile(path)]
+    if low.endswith((".geojson", ".json")):
+        with open(path) as f:
+            return list(read_features(f.read(), layer))
+    raise ValueError(
+        "reading this vector format requires the optional 'fiona' package, "
+        "which is not installed; the built-in readers cover .shp and "
+        ".geojson paths — otherwise pass WKT/WKB/GeoJSON/__geo_interface__ "
+        "features or parquet zone tables instead"
+    )
 
 
 def read_featurecollection(obj, layer: int = 0) -> dict:
