@@ -578,6 +578,42 @@ def q_zonal_qk_part_prune(spark, sf_dir):
     )
 
 
+def q_zonal_geotiff_ingest(spark, sf_dir):
+    """Distributed GeoTIFF ingestion gate (r5): the fixture slope raster
+    is written as GeoTIFF FILES (tiffcodec.write_geotiff), ingested with
+    the binaryFile → executor-side decode → tiling pipeline
+    (sources/geotiff.geotiffs_to_tables — no driver decode), and zonal
+    stats over the ingested corpus must equal zonal_default (shared
+    oracle): the file-corpus scan path is end-to-end oracle-checked."""
+    import tempfile
+
+    from python_rasterstats_spark.fixtures import build_arrays, ensure_fixtures
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.geotiff import geotiffs_to_tables
+    from python_rasterstats_spark.sources.tables import load_corpus
+    from python_rasterstats_spark.tiffcodec import write_geotiff
+
+    arrays = build_arrays()
+    d = os.path.join(tempfile.gettempdir(), "prs_gate_geotiff")
+    os.makedirs(d, exist_ok=True)
+    for name in ("slope", "slope_classes"):
+        arr, aff, nodata, _fmt = arrays[name]
+        write_geotiff(os.path.join(d, f"{name}.tif"), arr, aff, nodata=nodata)
+    tiles, datasets = geotiffs_to_tables(spark, d, tile=16)
+    _, zones, _ = load_corpus(spark, ensure_fixtures(FIX))
+    out = zonal_stats_df(
+        zones.filter(F.col("collection") == "polygons"),
+        tiles, datasets, dataset="slope",
+    )
+    return out.select(
+        "zone_id",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        F.round("mean", 6).alias("mean_r"),
+    )
+
+
 def q_zonal_addstats_scalable(spark, sf_dir):
     """Scalable add_stats protocol (SURVEY §2.4 A18): a user sum-of-squares
     stat as a (partial, merge, finalize) triple running on the distributed
@@ -987,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_smj": q_zonal_smj,
         "zonal_smj_holistic": q_zonal_smj_holistic,
         "zonal_qk_part_prune": q_zonal_qk_part_prune,
+        "zonal_geotiff_ingest": q_zonal_geotiff_ingest,
         "zonal_addstats_scalable": q_zonal_addstats_scalable,
         "cli_zonalstats": q_cli_zonalstats,
         "cli_pointquery": q_cli_pointquery,
@@ -1106,6 +1143,7 @@ GROUP BY v.zone_id
     sql["zonal_smj_holistic"] = sql["zonal_all_stats"]
     sql["zonal_qk_prune"] = sql["zonal_default"]
     sql["zonal_qk_part_prune"] = sql["zonal_default"]
+    sql["zonal_geotiff_ingest"] = sql["zonal_default"]
     sql["cli_zonalstats"] = sql["zonal_default"]
 
     sql["zonal_addstats_scalable"] = _valid_join("'polygons_slope_default'") + """

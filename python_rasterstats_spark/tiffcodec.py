@@ -262,3 +262,93 @@ def read_geotiff(path_or_bytes):
 
     out = arr[:, :, 0] if spp == 1 else np.moveaxis(arr, 2, 0)
     return np.ascontiguousarray(out), _affine(tags), nodata
+
+
+def write_geotiff(
+    path,
+    arr: np.ndarray,
+    affine,
+    *,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+) -> None:
+    """Write a single-band 2-D array as a little-endian stripped GeoTIFF
+    (compression 'deflate' or 'none') — the sink twin of read_geotiff,
+    enough to export mini-rasters / fixtures that GDAL and this reader
+    both open. North-up affine only (b == d == 0)."""
+    if arr.ndim != 2:
+        raise TiffError("write_geotiff writes single-band 2-D arrays")
+    a, b, c, d, e, f = [float(v) for v in affine]
+    if b or d:
+        raise TiffError("write_geotiff supports north-up affines only")
+    comp = {"deflate": 8, "none": 1}.get(compression)
+    if comp is None:
+        raise TiffError(f"unsupported write compression {compression!r}")
+    h, w = arr.shape
+    dt = arr.dtype.newbyteorder("<")
+    data = np.ascontiguousarray(arr.astype(dt))
+    segs = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = data[r0: r0 + rows_per_strip].tobytes()
+        segs.append(zlib.compress(raw) if comp == 8 else raw)
+
+    entries: list = []
+
+    def add(tag, typ, vals):
+        if typ == 2:
+            entries.append((tag, typ, vals.encode() + b"\x00"))
+        else:
+            fmt = {3: "H", 4: "I", 12: "d"}[typ]
+            entries.append((tag, typ, struct.pack("<" + fmt * len(vals), *vals)))
+
+    sf = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    add(256, 3, [w]); add(257, 3, [h])
+    add(258, 3, [dt.itemsize * 8]); add(259, 3, [comp])
+    add(262, 3, [1]); add(277, 3, [1]); add(278, 3, [rows_per_strip])
+    add(284, 3, [1]); add(339, 3, [sf])
+    add(33550, 12, [a, -e, 0.0])
+    add(33922, 12, [0.0, 0.0, 0.0, c, f, 0.0])
+    if nodata is not None:
+        add(42113, 2, repr(float(nodata)))
+    add(273, 4, [0] * len(segs))  # patched below
+    add(279, 4, [len(s) for s in segs])
+    entries.sort(key=lambda x: x[0])
+
+    n = len(entries)
+    values_off = 8 + 2 + 12 * n + 4
+    body = bytearray()
+    head = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    head += struct.pack("<H", n)
+    # lay out overflow values first to learn where data starts
+    layout = []
+    for tag, typ, raw in entries:
+        # ASCII count INCLUDES the terminating NUL (TIFF 6.0 §2)
+        cnt = (len(raw) if typ == 2 else
+               len(raw) // {3: 2, 4: 4, 12: 8}[typ])
+        if len(raw) <= 4:
+            layout.append((tag, typ, cnt, raw.ljust(4, b"\x00"), None))
+        else:
+            layout.append((tag, typ, cnt, None, values_off + len(body)))
+            body += raw
+    data_off = values_off + len(body)
+    offs = []
+    for s in segs:
+        offs.append(data_off)
+        data_off += len(s)
+    for tag, typ, cnt, inline, off in layout:
+        head += struct.pack("<HHI", tag, typ, cnt)
+        if tag == 273:
+            raw = struct.pack("<" + "I" * len(offs), *offs)
+            if len(raw) <= 4:
+                head += raw.ljust(4, b"\x00")
+            else:
+                body[off - values_off: off - values_off + len(raw)] = raw
+                head += struct.pack("<I", off)
+        elif inline is not None:
+            head += inline
+        else:
+            head += struct.pack("<I", off)
+    head += struct.pack("<I", 0)
+    with open(path, "wb") as fh:
+        fh.write(bytes(head) + bytes(body) + b"".join(segs))

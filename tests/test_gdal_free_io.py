@@ -360,3 +360,77 @@ def test_cli_on_reference_files(spark):
     assert [f["properties"]["_count"] for f in feats] == [75, 50]
     assert round(feats[0]["properties"]["_mean"], 2) == 14.66
     assert feats[0]["properties"]["id"] == 1  # .dbf attributes preserved
+
+
+@needs_data
+def test_point_query_parity(spark):
+    """reference tests/test_point.py:84-117 (point_query on slope.tif /
+    slope_nodata.tif), GDAL-free through tiffcodec."""
+    from python_rasterstats_spark.api import point_query
+
+    raster = os.path.join(DATA, "slope.tif")
+    raster_nd = os.path.join(DATA, "slope_nodata.tif")
+    val = point_query("POINT(245309 1000064)", raster, spark=spark)[0]
+    assert round(val) == 74
+    feats = point_query(
+        "POINT(245309 1000064)", raster, property_name="TEST",
+        geojson_out=True, spark=spark,
+    )
+    assert round(feats[0]["properties"]["TEST"]) == 74
+    # all-nodata on grid, and off grid (both interpolations)
+    assert point_query("POINT(245309 1000308)", raster_nd, spark=spark)[0] is None
+    assert point_query("POINT(244000 1000308)", raster_nd, spark=spark)[0] is None
+    assert point_query(
+        "POINT(244000 1000308)", raster_nd, interpolate="nearest", spark=spark
+    )[0] is None
+    # some nodata in the 2x2 window: bilinear falls back to nearest
+    v1 = point_query(
+        "POINT(245905 1000361)", raster_nd, interpolate="nearest", spark=spark
+    )[0]
+    v2 = point_query("POINT(245905 1000361)", raster_nd, spark=spark)[0]
+    assert round(v1) == 43 and round(v2) == 43
+
+
+def test_write_geotiff_roundtrip(tmp_path):
+    from python_rasterstats_spark.tiffcodec import write_geotiff
+
+    rng = np.random.default_rng(1)
+    aff = (2.5, 0.0, 10.0, 0.0, -2.5, 400.0)
+    for dt in (np.float32, np.int32, np.uint16, np.float64):
+        arr = rng.uniform(-100, 100, size=(130, 57)).astype(dt)
+        for comp in ("deflate", "none"):
+            p = str(tmp_path / f"w_{np.dtype(dt).name}_{comp}.tif")
+            write_geotiff(p, arr, aff, nodata=-1.0, compression=comp)
+            got, gaff, nd = read_geotiff(p)
+            np.testing.assert_array_equal(got, arr)
+            assert got.dtype == arr.dtype and gaff == aff and nd == -1.0
+
+
+def test_distributed_geotiff_ingest_matches_numpy(spark, tmp_path):
+    """binaryFile → executor-side decode → tiling (sources/geotiff): the
+    driver never touches pixel bytes, and zonal over the ingested corpus
+    matches the direct numpy segment exactly."""
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.geotiff import geotiffs_to_tables
+    from python_rasterstats_spark.sources.tables import features_to_zones
+    from python_rasterstats_spark.tiffcodec import write_geotiff
+
+    rng = np.random.default_rng(2)
+    arr = rng.uniform(0, 100, size=(64, 64)).astype(np.float32)
+    aff = (1.0, 0.0, 0.0, 0.0, -1.0, 64.0)
+    write_geotiff(str(tmp_path / "scene_a.tif"), arr, aff, nodata=-9.0)
+    write_geotiff(str(tmp_path / "scene_b.tif"), arr * 2, aff, nodata=-9.0)
+    tiles, datasets = geotiffs_to_tables(spark, str(tmp_path), tile=16)
+    assert tiles.count() == 32  # 2 files × 4×4 tiles
+    meta = {r["dataset"]: r.asDict() for r in datasets.collect()}
+    assert sorted(meta) == ["scene_a", "scene_b"]
+    assert meta["scene_a"]["height"] == 64 and meta["scene_a"]["nodata"] == -9.0
+    zones = features_to_zones(
+        spark, ["POLYGON ((5 5, 20 5, 20 20, 5 20, 5 5))"], dataset="scene_b"
+    )
+    out = zonal_stats_df(
+        zones, tiles, datasets, dataset="scene_b", stats=["count", "mean"]
+    ).collect()[0]
+    seg = (arr * 2)[44:59, 5:20]
+    assert out["count"] == seg.size
+    assert out["mean"] == pytest.approx(float(seg.astype(np.float64).mean()))
