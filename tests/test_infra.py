@@ -398,3 +398,34 @@ def test_with_quadkey_matches_kernel(spark):
         assert K.quadkey_parent(r["quadkey"]) == K.quadkey(
             r["tile_col"] // 2, r["tile_row"] // 2, level=15
         )
+
+
+def test_spark_submit_pyfiles_smoke(tmp_path):
+    """north_rule packaging: the engine runs via `spark-submit --py-files
+    dist/prs.zip` with NOTHING else on the path — driver and executors
+    resolve the package from the zip alone (tools/submit_smoke.py)."""
+    import json
+    import shutil
+    import subprocess
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on this machine")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "prs.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_pyfiles.py"),
+         zip_path],
+        check=True,
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(repo, "tools", "submit_smoke.py")],
+        cwd=str(tmp_path),  # not the repo: the zip must be the only source
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if "submit_smoke" in l][-1]
+    payload = json.loads(line)
+    assert payload["submit_smoke"] == "ok" and payload["count"] == 256
