@@ -502,6 +502,10 @@ def _fiona_features(path: str, layer: int = 0):
         from .shpcodec import read_shapefile
 
         return [parse_feature(f) for f in read_shapefile(path)]
+    if low.endswith(".gpkg"):
+        from .gpkgcodec import read_geopackage
+
+        return [parse_feature(f) for f in read_geopackage(path, layer)]
     if low.endswith((".geojson", ".json")):
         with open(path) as f:
             return list(read_features(f.read(), layer))

@@ -434,3 +434,89 @@ def test_distributed_geotiff_ingest_matches_numpy(spark, tmp_path):
     seg = (arr * 2)[44:59, 5:20]
     assert out["count"] == seg.size
     assert out["mean"] == pytest.approx(float(seg.astype(np.float64).mean()))
+
+
+def _make_gpkg(path, layers):
+    """Hand-built OGC GeoPackage: gpkg_contents + gpkg_geometry_columns +
+    one feature table per (name, [(geom_mapping, props)]) entry, with
+    geometries wrapped as GeoPackageBinary (GP header + standard WKB)."""
+    import sqlite3
+
+    from python_rasterstats_spark import geom as G
+
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, "
+        "data_type TEXT, identifier TEXT, srs_id INTEGER)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+        "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+        "z TINYINT, m TINYINT)"
+    )
+    for name, feats in layers.items():
+        con.execute(
+            f'CREATE TABLE "{name}" (fid INTEGER PRIMARY KEY, '
+            "geom BLOB, label TEXT)"
+        )
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES (?, 'features', ?, 0)",
+            (name, name),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', "
+            "'GEOMETRY', 0, 0, 0)",
+            (name,),
+        )
+        for i, (gmap, label) in enumerate(feats):
+            # GP header: magic, version 0, flags 0b00000011 = LE srs +
+            # xy envelope; envelope = 4 doubles
+            import struct as _s
+
+            wkb = G.wkb_dumps(gmap)
+            x0, y0, x1, y1 = G.geom_bounds(gmap)
+            blob = (b"GP\x00" + bytes([0b00000011])
+                    + _s.pack("<i", 0)
+                    + _s.pack("<4d", x0, x1, y0, y1) + wkb)
+            con.execute(
+                f'INSERT INTO "{name}" VALUES (?, ?, ?)', (i + 1, blob, label)
+            )
+    con.commit()
+    con.close()
+
+
+def test_geopackage_reader_and_layer_param(tmp_path, spark):
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark.gpkgcodec import (
+        GeoPackageError, list_layers, read_geopackage,
+    )
+
+    p = str(tmp_path / "vectors.gpkg")
+    _make_gpkg(p, {
+        "boxes": [
+            (G.box(1.0, 1.0, 6.0, 6.0), "a"),
+            (G.box(2.0, 2.0, 8.0, 8.0), "b"),
+        ],
+        "spots": [({"type": "Point", "coordinates": [3.0, 4.0]}, "p")],
+    })
+    assert list_layers(p) == ["boxes", "spots"]
+    feats = read_geopackage(p, 0)
+    assert len(feats) == 2
+    assert feats[0]["geometry"]["type"] == "Polygon"
+    assert feats[0]["properties"] == {"label": "a"}
+    by_name = read_geopackage(p, "spots")
+    assert by_name[0]["geometry"] == {"type": "Point", "coordinates": [3.0, 4.0]}
+    with pytest.raises(GeoPackageError, match="out of range"):
+        read_geopackage(p, 7)
+    # the read_features path dispatch + layer plumb-through
+    got = list(G.read_features(p, layer="spots"))
+    assert got[0]["geometry"]["type"] == "Point"
+    # end-to-end: zonal over a gpkg path
+    from python_rasterstats_spark.api import zonal_stats
+
+    arr = np.arange(100, dtype=np.float32).reshape(10, 10)
+    stats = zonal_stats(
+        p, arr, affine=(1.0, 0.0, 0.0, 0.0, -1.0, 10.0), nodata=-1.0,
+        spark=spark, stats=["count"],
+    )
+    assert [s["count"] for s in stats] == [25, 36]
