@@ -444,6 +444,10 @@ def read_features(obj, layer: int = 0):
     pointer at the parquet zone-table path.
     """
     features_iter = None
+    if hasattr(obj, "__fspath__"):  # pathlib.Path etc. (reference accepts
+        import os as _os            # Path objects via fiona — io.py:94)
+
+        obj = _os.fspath(obj)
     if isinstance(obj, str):
         import os as _os
 

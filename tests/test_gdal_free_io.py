@@ -520,3 +520,66 @@ def test_geopackage_reader_and_layer_param(tmp_path, spark):
         spark=spark, stats=["count"],
     )
     assert [s["count"] for s in stats] == [25, 36]
+
+
+@needs_data
+def test_pathlib_inputs(spark):
+    """The reference's own tests pass pathlib.Path objects for both
+    vectors and raster (test_zonal.py:16-27) — both must work here."""
+    from pathlib import Path
+
+    from python_rasterstats_spark.api import zonal_stats
+
+    stats = zonal_stats(
+        Path(DATA) / "polygons.shp", Path(DATA) / "slope.tif", spark=spark
+    )
+    assert [s["count"] for s in stats] == [75, 50]
+
+
+@needs_data
+def test_categorical_nodata_parity(zs):
+    """reference tests/test_zonal.py:194-204 (test_nodata): nodata=1.0 on
+    the class raster nulls polygon 1 entirely and drops one pixel of
+    polygon 2."""
+    stats = zs("polygons.shp", "slope_classes.tif", stats="*",
+               categorical=True, nodata=1.0)
+    assert stats[0]["majority"] is None
+    assert stats[0]["count"] == 0
+    assert stats[1]["minority"] == 2.0
+    assert stats[1]["count"] == 49
+    assert "1.0" not in stats[0] and 1.0 not in stats[0]
+
+
+@needs_data
+def test_points_categorical_parity(zs):
+    """reference tests/test_zonal.py:84-92."""
+    stats = zs("points.shp", "slope_classes.tif", categorical=True)
+    assert len(stats) == 3
+    assert "mean" not in stats[0]
+    assert stats[0][1.0] == 1
+    assert stats[1][2.0] == 1
+
+
+@needs_data
+def test_percentile_parity(zs):
+    """reference tests/test_zonal.py:340-347 (test_percentile_good)."""
+    stats = zs("polygons.shp", "slope.tif",
+               stats="median percentile_50 percentile_90")
+    assert stats[0]["percentile_50"] == stats[0]["median"]
+    assert stats[0]["percentile_50"] <= stats[0]["percentile_90"]
+
+
+@needs_data
+def test_zone_func_parity(zs):
+    """reference tests/test_zonal.py:350-368 (zone_func return + inplace)."""
+    def returns_ones(zone_arr):
+        return np.ma.masked_array(np.full(zone_arr.shape, 1))
+
+    stats = zs("polygons.shp", "slope.tif", zone_func=returns_ones)
+    assert (stats[0]["max"], stats[0]["min"], stats[0]["mean"]) == (1, 1, 1)
+
+    def zeroes_inplace(zone_arr):
+        zone_arr[:] = 0
+
+    stats = zs("polygons.shp", "slope.tif", zone_func=zeroes_inplace)
+    assert (stats[0]["max"], stats[0]["min"], stats[0]["mean"]) == (0, 0, 0)
