@@ -216,8 +216,10 @@ def read_geotiff(path_or_bytes):
     dt = _dtype(tags, bo)
 
     def undo_predictor(block: np.ndarray) -> np.ndarray:
+        # block is (rows, width, spp); horizontal differencing runs PER
+        # SAMPLE along the width axis (TIFF 6.0 §14 — channels interleave
+        # in chunky layout, so a flat row cumsum would mix them)
         if pred == 2:
-            # horizontal differencing runs on the integer representation
             return np.cumsum(block, axis=1, dtype=block.dtype)
         return block
 
@@ -228,9 +230,9 @@ def read_geotiff(path_or_bytes):
         arr = np.zeros((h, w, spp), dtype=dt)
         for ti, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o: o + c], comp)
-            block = np.frombuffer(raw, dtype=dt, count=tl * tw * spp)
-            block = undo_predictor(block.reshape(tl, tw * spp)).reshape(
-                tl, tw, spp
+            block = undo_predictor(
+                np.frombuffer(raw, dtype=dt, count=tl * tw * spp)
+                .reshape(tl, tw, spp)
             )
             r0, c0 = (ti // ntx) * tl, (ti % ntx) * tw
             rs, cs = min(tl, h - r0), min(tw, w - c0)
@@ -245,8 +247,8 @@ def read_geotiff(path_or_bytes):
             raw = _decompress(data[o: o + c], comp)
             block = np.frombuffer(raw, dtype=dt, count=rows * w * spp)
             arr[row: row + rows] = undo_predictor(
-                block.reshape(rows, w * spp)
-            ).reshape(rows, w, spp)
+                block.reshape(rows, w, spp)
+            )
             row += rows
 
     nodata = None

@@ -80,17 +80,20 @@ _SF = {"u": 1, "i": 2, "f": 3}
 
 def make_tiff(arr, *, bo="<", compression=1, predictor=1, tile=None,
               nodata=None, scale=(2.0, 3.0), origin=(100.0, 500.0)):
-    """Minimal single-band GeoTIFF bytes for decoder tests."""
+    """Minimal GeoTIFF bytes for decoder tests — arr is (h, w) or
+    (bands, h, w) (written chunky/interleaved)."""
     import zlib
 
-    h, w = arr.shape
+    spp = 1 if arr.ndim == 2 else arr.shape[0]
+    h, w = arr.shape[-2:]
     dt = arr.dtype.newbyteorder(bo)
-    a = arr.astype(dt)
+    a = (arr[None] if arr.ndim == 2 else arr).astype(dt)
+    a = np.moveaxis(a, 0, 2)  # (h, w, spp) chunky
 
     def seg_bytes(block):
         if predictor == 2:
             d = block.copy()
-            d[:, 1:] = block[:, 1:] - block[:, :-1]
+            d[:, 1:] = block[:, 1:] - block[:, :-1]  # per-sample (axis 1)
             block = d
         raw = block.tobytes()
         if compression == 1:
@@ -113,7 +116,7 @@ def make_tiff(arr, *, bo="<", compression=1, predictor=1, tile=None,
         tl = tw = tile
         for r0 in range(0, h, tl):
             for c0 in range(0, w, tw):
-                block = np.zeros((tl, tw), dtype=dt)
+                block = np.zeros((tl, tw, spp), dtype=dt)
                 rs, cs = min(tl, h - r0), min(tw, w - c0)
                 block[:rs, :cs] = a[r0: r0 + rs, c0: c0 + cs]
                 segs.append(seg_bytes(block))
@@ -137,9 +140,9 @@ def make_tiff(arr, *, bo="<", compression=1, predictor=1, tile=None,
     sx, sy = scale
     ox, oy = origin
     add(256, 3, [w]); add(257, 3, [h])
-    add(258, 3, [dt.itemsize * 8]); add(259, 3, [compression])
-    add(262, 3, [1]); add(277, 3, [1]); add(284, 3, [1])
-    add(317, 3, [predictor]); add(339, 3, [_SF[dt.kind]])
+    add(258, 3, [dt.itemsize * 8] * spp); add(259, 3, [compression])
+    add(262, 3, [1]); add(277, 3, [spp]); add(284, 3, [1])
+    add(317, 3, [predictor]); add(339, 3, [_SF[dt.kind]] * spp)
     if tile:
         add(322, 3, [tile]); add(323, 3, [tile])
         off_tag, cnt_tag = 324, 325
@@ -583,3 +586,16 @@ def test_zone_func_parity(zs):
 
     stats = zs("polygons.shp", "slope.tif", zone_func=zeroes_inplace)
     assert (stats[0]["max"], stats[0]["min"], stats[0]["mean"]) == (0, 0, 0)
+
+
+def test_tiff_multiband_chunky_predictor():
+    """spp>1 chunky layout: predictor 2 differences PER SAMPLE along the
+    row — a flat-row cumsum would mix channels (regression)."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 60000, size=(3, 6, 11)).astype(np.uint16)
+    for kw in (dict(), dict(compression=8, predictor=2),
+               dict(compression=5, predictor=2), dict(tile=4, predictor=2,
+                                                      compression=8)):
+        got, aff, _ = read_geotiff(make_tiff(arr, **kw))
+        assert got.shape == (3, 6, 11)
+        np.testing.assert_array_equal(got, arr)
