@@ -85,6 +85,9 @@ def read_geopackage(path: str, layer: int | str = 0) -> list[dict]:
         cur = con.execute(f'SELECT * FROM "{name}"')
         cols = [d[0] for d in cur.description]
         gi = cols.index(gcol)
+        fid_i = next(
+            (j for j, c in enumerate(cols) if c.lower() == "fid"), None
+        )
         feats = []
         for i, rec in enumerate(cur):
             wkb = gpb_to_wkb(rec[gi]) if rec[gi] is not None else None
@@ -97,7 +100,7 @@ def read_geopackage(path: str, layer: int | str = 0) -> list[dict]:
             feats.append(
                 {
                     "type": "Feature",
-                    "id": str(rec[cols.index("fid")] if "fid" in cols else i),
+                    "id": str(rec[fid_i] if fid_i is not None else i),
                     "properties": props,
                     "geometry": G.wkb_loads(wkb),
                 }

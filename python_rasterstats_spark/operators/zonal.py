@@ -1369,6 +1369,12 @@ def zonal_stats_df(
     each payload decoded once, each zone rasterized once per covering tile,
     output long format with a ``band`` column (one row per zone × band).
 
+    ``quadkey_level`` must match the level the tile corpus's quadkey
+    column was written with (sources/tables.with_quadkey default 16) —
+    pruning ranges are computed over that Morton code space. A grid too
+    wide for the level is detected and that dataset's scan simply goes
+    unpruned (never wrongly pruned).
+
     ``holistic_mode`` (median/percentiles/majority/minority/unique/
     value_counts execution): ``'auto'`` (default) picks the plan from the
     per-zone size estimate the regime already has (the collected zone dim,
