@@ -90,9 +90,15 @@ def _resolve_raster(spark, raster, affine, nodata, band, tile=256):
                     "pass a numpy array + affine or a TileRaster corpus "
                     f"handle instead ({exc})"
                 ) from exc
+            nbands = arr.shape[0] if arr.ndim == 3 else 1
+            if band > nbands or band < 1:
+                # mirror rasterio's src.read(band) failure instead of
+                # silently returning band 1's data
+                raise ValueError(
+                    f"band {band} out of range for {raster} "
+                    f"(band_count={nbands})"
+                )
             if arr.ndim == 3:
-                if band > arr.shape[0] or band < 1:
-                    raise ValueError(f"band {band} out of range")
                 arr = arr[band - 1]
             if aff is None:
                 if affine is None:

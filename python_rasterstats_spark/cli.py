@@ -28,8 +28,9 @@ RS = "\x1e"  # RFC 8142 record separator (reference cli.py:125-131)
 def _read_features_arg(arg: str) -> str:
     if arg == "-":
         return sys.stdin.read()
-    if arg.lower().endswith(".shp"):
-        return arg  # binary vector path: read_features dispatches to shpcodec
+    if arg.lower().endswith((".shp", ".gpkg")):
+        return arg  # binary vector path: read_features dispatches to the
+        # in-repo shapefile/geopackage readers (or fiona when installed)
     with open(arg) as f:
         return f.read()
 
@@ -49,8 +50,13 @@ def _resolve_raster(spark, args):
     if args.raster:
         if args.raster.lower().endswith((".tif", ".tiff")):
             # GeoTIFF: georeferencing + nodata come from the file itself
-            # (tiffcodec / rasterio via api._resolve_raster)
-            return args.raster, None
+            # (tiffcodec / rasterio via api._resolve_raster); an explicit
+            # --affine still passes through for files without geokeys
+            aff = (
+                tuple(float(v) for v in args.affine.split())
+                if args.affine else None
+            )
+            return args.raster, aff
         if not args.affine:
             raise SystemExit("--affine 'a b c d e f' is required with --raster")
         arr = np.load(args.raster, allow_pickle=False)

@@ -49,8 +49,10 @@ def list_layers(path: str) -> list[str]:
     con = sqlite3.connect(path)
     try:
         rows = con.execute(
+            # rowid order = insertion order, matching OGR's layer-index
+            # semantics (NOT alphabetical)
             "SELECT table_name FROM gpkg_contents "
-            "WHERE data_type = 'features' ORDER BY table_name"
+            "WHERE data_type = 'features' ORDER BY rowid"
         ).fetchall()
     finally:
         con.close()
@@ -84,7 +86,14 @@ def read_geopackage(path: str, layer: int | str = 0) -> list[dict]:
         gcol = row[0]
         cur = con.execute(f'SELECT * FROM "{name}"')
         cols = [d[0] for d in cur.description]
-        gi = cols.index(gcol)
+        # SQLite identifiers are case-insensitive: match the declared
+        # geometry/fid columns the same way
+        gi = next(
+            (j for j, c in enumerate(cols) if c.lower() == gcol.lower()),
+            None,
+        )
+        if gi is None:
+            raise GeoPackageError(f"{name}: geometry column {gcol!r} missing")
         fid_i = next(
             (j for j, c in enumerate(cols) if c.lower() == "fid"), None
         )
@@ -95,7 +104,7 @@ def read_geopackage(path: str, layer: int | str = 0) -> list[dict]:
                 continue
             props = {
                 c: v for c, v in zip(cols, rec)
-                if c != gcol and c.lower() != "fid"
+                if c.lower() != gcol.lower() and c.lower() != "fid"
             }
             feats.append(
                 {

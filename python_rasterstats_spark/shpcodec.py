@@ -125,7 +125,8 @@ def _read_dbf(path: str) -> list[dict]:
     out = []
     for i in range(nrec):
         rec = data[hsize + i * rsize: hsize + (i + 1) * rsize]
-        if not rec or rec[0] == 0x2A:  # deleted
+        if not rec or rec[0] == 0x2A:  # deleted: keep a placeholder so
+            out.append({})             # .shp record alignment holds
             continue
         props: dict = {}
         p = 1
@@ -146,8 +147,12 @@ def _read_dbf(path: str) -> list[dict]:
                     except ValueError:
                         props[name] = None
             elif ftype == "L":
+                # blank = uninitialized → None (membership must not use
+                # `in str`: "" is a substring of everything)
                 props[name] = (
-                    True if raw in "TtYy" else False if raw in "FfNn" else None
+                    True if raw in ("T", "t", "Y", "y")
+                    else False if raw in ("F", "f", "N", "n")
+                    else None
                 )
             else:
                 props[name] = raw

