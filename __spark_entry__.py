@@ -614,6 +614,50 @@ def q_zonal_geotiff_ingest(spark, sf_dir):
     )
 
 
+def q_zonal_gpkg_zones(spark, sf_dir):
+    """Vector-FILE path gate (r5): the fixture polygons round-trip
+    through a GeoPackage on disk (gpkgcodec write → api zonal_stats with
+    the .gpkg PATH as vectors — the reference's io.py:94-109 path branch,
+    GDAL-free), raster = the fixture corpus. Equals zonal_default
+    (shared oracle)."""
+    import tempfile
+
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark.api import TileRaster, zonal_stats
+    from python_rasterstats_spark.fixtures import ensure_fixtures
+    from python_rasterstats_spark.gpkgcodec import write_geopackage
+    from python_rasterstats_spark.sources.tables import load_corpus
+
+    tiles, zones, datasets = load_corpus(spark, ensure_fixtures(FIX))
+    zrows = (
+        zones.filter(F.col("collection") == "polygons")
+        .orderBy("zone_id").collect()
+    )
+    feats = [
+        {"type": "Feature",
+         "properties": {"zid": int(r["zone_id"])},
+         "geometry": G.wkb_loads(bytes(r["geometry_wkb"]))}
+        for r in zrows
+    ]
+    path = os.path.join(tempfile.gettempdir(), "prs_gate_zones.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    write_geopackage(path, {"polygons": feats})
+    stats = zonal_stats(
+        path, TileRaster(tiles, datasets, "slope"), spark=spark,
+    )
+    rows = [
+        (int(r["zone_id"]), int(s["count"]),
+         round(float(s["min"]), 6), round(float(s["max"]), 6),
+         round(float(s["mean"]), 6))
+        for r, s in zip(zrows, stats)
+    ]
+    return spark.createDataFrame(
+        rows, "zone_id long, cnt long, min_r double, max_r double, "
+        "mean_r double"
+    )
+
+
 def q_zonal_addstats_scalable(spark, sf_dir):
     """Scalable add_stats protocol (SURVEY §2.4 A18): a user sum-of-squares
     stat as a (partial, merge, finalize) triple running on the distributed
@@ -1024,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_smj_holistic": q_zonal_smj_holistic,
         "zonal_qk_part_prune": q_zonal_qk_part_prune,
         "zonal_geotiff_ingest": q_zonal_geotiff_ingest,
+        "zonal_gpkg_zones": q_zonal_gpkg_zones,
         "zonal_addstats_scalable": q_zonal_addstats_scalable,
         "cli_zonalstats": q_cli_zonalstats,
         "cli_pointquery": q_cli_pointquery,
@@ -1144,6 +1189,7 @@ GROUP BY v.zone_id
     sql["zonal_qk_prune"] = sql["zonal_default"]
     sql["zonal_qk_part_prune"] = sql["zonal_default"]
     sql["zonal_geotiff_ingest"] = sql["zonal_default"]
+    sql["zonal_gpkg_zones"] = sql["zonal_default"]
     sql["cli_zonalstats"] = sql["zonal_default"]
 
     sql["zonal_addstats_scalable"] = _valid_join("'polygons_slope_default'") + """

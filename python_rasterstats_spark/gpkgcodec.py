@@ -59,6 +59,70 @@ def list_layers(path: str) -> list[str]:
     return [r[0] for r in rows]
 
 
+def write_geopackage(path: str, layers: dict) -> None:
+    """Write ``{layer_name: [feature dict, ...]}`` as a minimal OGC
+    GeoPackage (the sink twin of read_geopackage): gpkg_contents +
+    gpkg_geometry_columns + one feature table per layer, geometries as
+    GeoPackageBinary (GP header, LE, xy envelope) wrapping the engine's
+    own WKB; properties land as TEXT columns (union of keys, stringified
+    — enough for fixture/bench interchange, not a typed attribute
+    store)."""
+    import struct
+
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            "table_name TEXT PRIMARY KEY, data_type TEXT, "
+            "identifier TEXT, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns ("
+            "table_name TEXT, column_name TEXT, geometry_type_name TEXT, "
+            "srs_id INTEGER, z TINYINT, m TINYINT)"
+        )
+        for name, feats in layers.items():
+            keys = sorted({
+                k for f in feats for k in (f.get("properties") or {})
+            })
+            cols = ", ".join(f'"{k}" TEXT' for k in keys)
+            con.execute(
+                f'CREATE TABLE "{name}" (fid INTEGER PRIMARY KEY, '
+                f"geom BLOB{', ' + cols if cols else ''})"
+            )
+            con.execute(
+                "INSERT INTO gpkg_contents VALUES (?, 'features', ?, 0)",
+                (name, name),
+            )
+            con.execute(
+                "INSERT INTO gpkg_geometry_columns VALUES "
+                "(?, 'geom', 'GEOMETRY', 0, 0, 0)",
+                (name,),
+            )
+            for i, f in enumerate(feats):
+                gmap = f["geometry"] if f.get("type") == "Feature" else f
+                wkb = G.wkb_dumps(gmap)
+                x0, y0, x1, y1 = G.geom_bounds(gmap)
+                blob = (
+                    b"GP\x00" + bytes([0b00000011])
+                    + struct.pack("<i", 0)
+                    + struct.pack("<4d", x0, x1, y0, y1) + wkb
+                )
+                props = f.get("properties") or {}
+                vals = [
+                    None if props.get(k) is None else str(props[k])
+                    for k in keys
+                ]
+                ph = ", ".join("?" for _ in range(2 + len(keys)))
+                con.execute(
+                    f'INSERT INTO "{name}" VALUES ({ph})',
+                    (i + 1, blob, *vals),
+                )
+        con.commit()
+    finally:
+        con.close()
+
+
 def read_geopackage(path: str, layer: int | str = 0) -> list[dict]:
     """Feature dicts (GeoJSON-style) from one feature table of ``path``."""
     layers = list_layers(path)

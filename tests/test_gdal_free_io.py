@@ -677,3 +677,25 @@ def test_review_fixes_r5(tmp_path, spark):
     assert rc == 0
     feats = [json.loads(l) for l in buf.getvalue().splitlines() if l]
     assert feats[0]["properties"]["_count"] == 4
+
+
+def test_write_geopackage_roundtrip(tmp_path):
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark.gpkgcodec import (
+        read_geopackage, write_geopackage,
+    )
+
+    feats = [
+        {"type": "Feature", "properties": {"name": "a", "n": 3},
+         "geometry": G.box(0.0, 0.0, 2.0, 2.0)},
+        {"type": "Feature", "properties": {"name": "b", "n": None},
+         "geometry": {"type": "Point", "coordinates": [5.0, 6.0]}},
+    ]
+    p = str(tmp_path / "rt.gpkg")
+    write_geopackage(p, {"layer_one": feats})
+    back = read_geopackage(p, "layer_one")
+    assert len(back) == 2
+    assert back[0]["geometry"]["type"] == "Polygon"
+    assert back[0]["properties"] == {"name": "a", "n": "3"}  # TEXT columns
+    assert back[1]["geometry"] == {"type": "Point", "coordinates": [5.0, 6.0]}
+    assert back[1]["properties"] == {"name": "b", "n": None}
