@@ -859,6 +859,41 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.4)
 
 
+def q_doc_seq_pack(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import sequence_pack
+
+    out = sequence_pack(_docs(spark, sf_dir), budget=256, buckets=8)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "bin_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "tok_sum", "first_doc", "last_doc",
+    )
+
+
+def q_doc_tfidf(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "top_term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "score_r",
+    )
+
+
+def q_doc_contamination(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import contamination_check
+
+    out = contamination_check(_docs(spark, sf_dir), n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_overlap", "contam_ratio_r", "contaminated",
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     from python_rasterstats_spark.functions.similarity import cosine_neighbors
 
@@ -1081,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_stats": q_doc_subword_stats,
         "doc_winnow": q_doc_winnow,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_seq_pack": q_doc_seq_pack,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_contamination": q_doc_contamination,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_neardup": q_emb_neardup,
@@ -1578,6 +1616,60 @@ SELECT da AS doc_a, db AS doc_b,
        round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard_r
 FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+"""
+
+    sql["doc_seq_pack"] = """
+WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+                  len(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+c AS (SELECT doc_id, bucket, tok,
+             COALESCE(SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(FLOOR(excl / 256.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tok_sum,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+"""
+
+    sql["doc_tfidf"] = """
+WITH terms AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+               FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1)) + 1.0), 6)
+                      AS score_r
+           FROM tf JOIN df USING (term), n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_r DESC, term ASC) AS rn
+           FROM scored)
+SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score_r
+FROM ranked WHERE rn = 1
+"""
+
+    sql["doc_contamination"] = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> md5(array_to_string(toks[i:i+4], ' '))))) AS g
+      FROM t WHERE len(toks) >= 5),
+train AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+hits AS (SELECT test.doc_id, COUNT(*) AS n_overlap
+         FROM test JOIN train USING (g) GROUP BY 1),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM test GROUP BY 1)
+SELECT totals.doc_id, CAST(totals.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(hits.n_overlap, 0) * 1.0 / totals.n_grams, 6)
+           AS contam_ratio_r,
+       COALESCE(hits.n_overlap, 0) > 0 AS contaminated
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
 
     _dot = (

@@ -98,6 +98,124 @@ def subword_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def sequence_pack(
+    docs: DataFrame, *, budget: int = 256, buckets: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training batches: assign
+    documents to fixed-token-budget bins so a downstream loader can
+    concatenate each bin into one ~``budget``-token training sequence.
+
+    Scale shape: documents are deterministically bucketed (``doc_id %
+    buckets`` — swap in ``xxhash64`` for non-integer keys), ordered within
+    the bucket by doc_id, and binned by exclusive running token count:
+    ``bin_id = floor(excl_cumsum / budget)``. The window partitions by
+    bucket, so no global sort and no single-partition bottleneck — each of
+    the ``buckets`` packing streams runs independently, and assignments
+    are deterministic under any cluster size. Returns one row per
+    (bucket, bin_id) with doc/token tallies."""
+    toks = F.size(_toks())
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(buckets)).alias("bucket"),
+            toks.alias("tok"),
+        )
+        .withColumn(
+            "excl", F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("bin_id", F.floor(F.col("excl") / F.lit(budget)))
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """Per-document top TF-IDF term: tf = in-doc term count, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), winner by (rounded score desc, term
+    asc) — the rounding happens BEFORE ranking so the order is stable
+    across engines. Two shuffles at scale: one term-keyed df aggregation
+    (map-side combined) and one doc-keyed window; the df side could be
+    broadcast when the vocabulary is small."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    scored = tf.join(df_, "term").withColumn(
+        "score_r",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_r").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tf", "df", "score_r")
+    )
+
+
+def contamination_check(
+    docs: DataFrame, *, n: int = 5, train_pred=None, test_pred=None
+) -> DataFrame:
+    """Train/test contamination scan (the n-gram-overlap decontamination
+    step every eval-aware training pipeline runs): a test document is
+    contaminated when any of its word ``n``-grams appears verbatim in the
+    training corpus. Grams are md5-hashed (fixed-width keys, and DuckDB
+    computes the identical digest for the oracle); the train side
+    collapses to DISTINCT gram hashes before the equi-join, so join input
+    is the training gram vocabulary, not the corpus — broadcastable when
+    small, a plain hash join otherwise. Default split: even doc_id =
+    train, odd = test. One row per test doc with overlap tallies."""
+    toks = _toks()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    base = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    if train_pred is None:
+        train_pred = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    if test_pred is None:
+        test_pred = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    train_grams = base.filter(train_pred).select("g").distinct()
+    test = base.filter(test_pred)
+    hits = (
+        test.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = test.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_overlap", F.lit(0)) / F.col("n_grams"), 6).alias(
+            "contam_ratio_r"
+        ),
+        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, *, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every k-token gram, slide a w-window over the hash

@@ -8,11 +8,14 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline DCT, 8-bit, grayscale and color in 4:4:4
-or 4:2:0 (the layout virtually every camera/web encoder emits; YCbCr
-BT.601; color decode returns a (3, h, w) uint8 array — the corpus's
-multiband convention). Progressive/arithmetic streams and other
-sampling layouts (4:2:2/4:1:1) raise NotImplementedError. Float
+Scope (documented): baseline DCT, 8-bit, grayscale and color in any
+sampling layout with integral upsample ratios — 4:4:4, 4:2:0 (the
+layout virtually every camera/web encoder emits), 4:2:2, 4:4:0, 4:1:1
+(YCbCr BT.601; color decode returns a (3, h, w) uint8 array — the
+corpus's multiband convention; the encoder can emit all five).
+Progressive/arithmetic streams and fractional-ratio layouts (e.g.
+3:2, which would need an interpolating upsampler) raise
+NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
 carried in an APP15 segment (standard-legal: unknown APPn segments are
 skipped by other decoders), so OUR decoder returns float32 while
@@ -318,16 +321,19 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
     quantization tables. ``sampling='444'`` interleaves one block per
     component per MCU; ``'420'`` subsamples chroma 2×2 (block means) with
     the standard 4-Y-blocks-per-MCU layout — the layout virtually every
-    camera/web encoder emits. Huffman tables are shared across components
-    — legal (SOS just references table ids)."""
+    camera/web encoder emits; ``'422'`` (2×1), ``'440'`` (1×2) and
+    ``'411'`` (4×1) use the same general MCU interleave with the
+    corresponding chroma block means. Huffman tables are shared across
+    components — legal (SOS just references table ids)."""
     a = np.asarray(rgb)
     if a.ndim == 3 and a.shape[-1] == 3 and a.shape[0] != 3:
         a = np.transpose(a, (2, 0, 1))
     assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
     if np.issubdtype(a.dtype, np.floating):
         raise ValueError("color jpeg takes uint8 bands")
-    if sampling not in ("444", "420"):
-        raise ValueError("sampling must be '444' or '420'")
+    _SAMPS = {"420": (2, 2), "422": (2, 1), "440": (1, 2), "411": (4, 1)}
+    if sampling != "444" and sampling not in _SAMPS:
+        raise ValueError("sampling must be one of '444','420','422','440','411'")
     h, w = a.shape[1:]
     planes = _rgb_to_ycbcr(a.astype(np.float64))
     q = min(max(int(quality), 1), 100)
@@ -351,27 +357,29 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
                     bw_, zzs[ci][bi], preds[ci], dc_codes, ac_codes
                 )
     else:
-        samps = ((2, 2), (1, 1), (1, 1))
-        # pad Y to 16-multiples so MCU tiling is exact; chroma = 2x2 means
+        sh0, sv0 = _SAMPS[sampling]
+        samps = ((sh0, sv0), (1, 1), (1, 1))
+        # pad Y to MCU multiples so tiling is exact; chroma = sv0×sh0 means
+        mh, mw = 8 * sv0, 8 * sh0
         yp = planes[0]
-        ph, pw = (-h) % 16, (-w) % 16
+        ph, pw = (-h) % mh, (-w) % mw
         if ph or pw:
             yp = np.pad(yp, ((0, ph), (0, pw)), mode="edge")
-        ch2, cw2 = yp.shape[0] // 2, yp.shape[1] // 2
+        chh, chw = yp.shape[0] // sv0, yp.shape[1] // sh0
         chroma = []
         for pl in planes[1:]:
             pc = np.pad(pl, ((0, ph), (0, pw)), mode="edge") if (ph or pw) else pl
-            chroma.append(pc.reshape(ch2, 2, cw2, 2).mean(axis=(1, 3)))
+            chroma.append(pc.reshape(chh, sv0, chw, sh0).mean(axis=(1, 3)))
         zz_y = _quantized_zigzag(yp, qts[0])
         zz_c = [_quantized_zigzag(c, qts[1]) for c in chroma]
-        mcux, mcuy = yp.shape[1] // 16, yp.shape[0] // 16
-        bw_y = mcux * 2  # Y blocks per row
+        mcux, mcuy = yp.shape[1] // mw, yp.shape[0] // mh
+        bw_y = mcux * sh0  # Y blocks per row
         preds = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
-                for v in range(2):
-                    for u in range(2):
-                        bi = (my * 2 + v) * bw_y + (mx * 2 + u)
+                for v in range(sv0):
+                    for u in range(sh0):
+                        bi = (my * sv0 + v) * bw_y + (mx * sh0 + u)
                         preds[0] = _encode_block(
                             bw_, zz_y[bi], preds[0], dc_codes, ac_codes
                         )
@@ -460,9 +468,10 @@ def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG (any encoder): grayscale returns (h, w)
     uint8 — or float32 when the stream carries this codec's APP15 rescale
-    sidecar; 4:4:4 and 4:2:0 color return (3, h, w) uint8 RGB (the
-    corpus's multiband convention). 4:2:2/4:1:1 sampling, progressive and
-    arithmetic streams raise NotImplementedError."""
+    sidecar; color returns (3, h, w) uint8 RGB (the corpus's multiband
+    convention) for any integral-ratio sampling layout (4:4:4, 4:2:0,
+    4:2:2, 4:4:0, 4:1:1, ...). Progressive/arithmetic streams and
+    fractional-ratio layouts raise NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -515,13 +524,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comps.append((cid, tq, samp >> 4, samp & 0xF))
             hs = [c[2] for c in comps]
             vs = [c[3] for c in comps]
-            ok = all(x == 1 for x in hs + vs) or (
-                ncomp == 3 and (hs[0], vs[0]) == (2, 2)
-                and hs[1:] == [1, 1] and vs[1:] == [1, 1]
+            hm, vm = max(hs), max(vs)
+            # any T.81-legal layout whose upsample ratios are integral
+            # (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1); fractional
+            # ratios (e.g. 3:2) would need interpolating upsample
+            ok = (
+                all(1 <= x <= 4 for x in hs + vs)
+                and all(hm % x == 0 for x in hs)
+                and all(vm % x == 0 for x in vs)
+                and sum(a * b for a, b in zip(hs, vs)) <= 10  # B.2.3 limit
             )
             if not ok:
                 raise NotImplementedError(
-                    "only 4:4:4 and 4:2:0 sampling are supported"
+                    "unsupported sampling layout (non-integral chroma "
+                    "upsample ratio or blocks-per-MCU > 10)"
                 )
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

@@ -293,3 +293,81 @@ def test_bilinear_resize_exact_on_linear_ramp(spark, corpus):
     for r in out:
         blk = C.decode_tile(bytes(r["bytes"]), "npy")
         assert blk.shape == (8, 8) and np.isfinite(blk).all()
+
+
+def test_sequence_pack_semantics(spark):
+    """r5 packing op: bins fill to the token budget within each bucket in
+    doc_id order; assignments are a pure function of the data (invariant
+    to partitioning), and every doc is packed exactly once."""
+    from python_rasterstats_spark.functions.textops import sequence_pack
+
+    rows = [(i, " ".join(["w"] * (10 + (i * 7) % 23))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sequence_pack(docs, budget=64, buckets=4)
+    got = {(r["bucket"], r["bin_id"]): r for r in out.collect()}
+    # replicate the rule in plain python
+    want = {}
+    for b in range(4):
+        cum = 0
+        for i in sorted(i for i, _ in rows if i % 4 == b):
+            tok = 10 + (i * 7) % 23
+            key = (b, cum // 64)
+            want.setdefault(key, []).append((i, tok))
+            cum += tok
+    assert set(got) == set(want)
+    for key, members in want.items():
+        r = got[key]
+        assert r["n_docs"] == len(members)
+        assert r["tok_sum"] == sum(t for _, t in members)
+        assert r["first_doc"] == min(i for i, _ in members)
+        assert r["last_doc"] == max(i for i, _ in members)
+    assert sum(r["n_docs"] for r in got.values()) == 60
+    # repartitioning the input does not change any assignment
+    out2 = sequence_pack(docs.repartition(7), budget=64, buckets=4)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_tfidf_top_terms(spark):
+    """Rare-but-frequent-in-doc terms beat common terms; ties break to the
+    lexicographically smaller term."""
+    from python_rasterstats_spark.functions.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare rare rare"),
+            (2, "common common common zebra"),
+            (3, "common apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tfidf_top_terms(docs).collect()}
+    assert got[1]["top_term"] == "rare"          # df=1, tf=3
+    # tf=3 of the everywhere-term (idf floor 1.0 -> score 3.0) still beats
+    # one rare 'zebra' (1*(ln(2)+1) ~ 1.69)
+    assert got[2]["top_term"] == "common" and got[2]["score_r"] == 3.0
+    assert got[3]["top_term"] == "apple"         # apple/banana tie -> lex min
+    assert got[1]["tf"] == 3 and got[1]["df"] == 1
+
+
+def test_contamination_check(spark):
+    """A test doc sharing a 5-gram with ANY train doc is flagged; disjoint
+    docs are not; short docs (< n tokens) don't emit rows."""
+    from python_rasterstats_spark.functions.textops import contamination_check
+
+    train_txt = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, train_txt),                               # train
+            (2, "completely different training content here"),  # train
+            (1, "prefix words then the quick brown fox jumps again"),  # test: hit
+            (3, "no overlap with anything in the training side at all"),  # test
+            (5, "too short"),                             # test, < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_check(docs, n=5).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["contaminated"] and got[1]["n_overlap"] >= 1
+    assert not got[3]["contaminated"] and got[3]["n_overlap"] == 0
+    assert got[3]["contam_ratio_r"] == 0.0
+    assert 0 < got[1]["contam_ratio_r"] <= 1.0

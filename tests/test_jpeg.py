@@ -253,9 +253,52 @@ def test_420_roundtrip_and_unsupported_sampling_rejected():
     o = rgb[:, :37, :45]
     do = jpeg_decode(jpeg_encode_color(o, quality=92, sampling="420"))
     assert do.shape == (3, 37, 45)
-    # non-4:2:0 subsampling layouts are rejected with a clear scope error
+    # layouts the codec cannot upsample integrally still reject clearly
     bb = bytearray(jpeg_encode_color(rgb, quality=92))
     i = bytes(bb).find(b"\xff\xc0")
-    bb[i + 4 + 7] = 0x21  # claim 4:2:2 for Y
-    with pytest.raises(NotImplementedError, match="4:4:4 and 4:2:0"):
+    bb[i + 4 + 7] = 0x44  # claim 4x4 sampling for Y: 16 blocks/MCU > 10
+    with pytest.raises(NotImplementedError, match="sampling layout"):
         jpeg_decode(bytes(bb))
+    bb[i + 4 + 7] = 0x31   # Y 3x1 ...
+    bb[i + 4 + 10] = 0x21  # ... Cb 2x1: 3/2 fractional upsample ratio
+    with pytest.raises(NotImplementedError, match="sampling layout"):
+        jpeg_decode(bytes(bb))
+
+
+def test_422_440_411_roundtrips():
+    """r5: the general MCU interleave covers every integral-ratio layout —
+    4:2:2 (the broadcast/video still standard), 4:4:0 and 4:1:1 encode
+    and decode from scratch with the expected luma sharpness."""
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_color
+
+    y, x = np.mgrid[0:40, 0:56]
+    base = 128 + 60 * np.sin(x / 9.0) + 30 * np.cos(y / 7.0)
+    rgb = np.stack([base, base * 0.7 + 40, 255 - base]).clip(0, 255)
+    rgb = rgb.astype(np.uint8)
+
+    def yplane(a):
+        return 0.299 * a[0] + 0.587 * a[1] + 0.114 * a[2]
+
+    # 4:1:1 throws away 4x the horizontal chroma -> lower overall floor
+    for sampling, samp_byte, floor in (
+        ("422", 0x21, 33.0), ("440", 0x12, 33.0), ("411", 0x41, 30.0)
+    ):
+        b = jpeg_encode_color(rgb, quality=92, sampling=sampling)
+        i = b.find(b"\xff\xc0")
+        assert b[i + 4 + 7] == samp_byte, sampling
+        out = jpeg_decode(b)
+        assert out.shape == (3, 40, 56)
+        assert C.psnr(rgb.astype(float), out.astype(float)) >= floor, sampling
+        assert C.psnr(
+            yplane(rgb.astype(float)), yplane(out.astype(float))
+        ) >= 45.0, sampling
+        # odd sizes survive the MCU padding/crop
+        o = rgb[:, :37, :45]
+        do = jpeg_decode(jpeg_encode_color(o, quality=92, sampling=sampling))
+        assert do.shape == (3, 37, 45), sampling
+    # 4:2:2 keeps MORE chroma detail than 4:2:0 on the same input
+    d420 = jpeg_decode(jpeg_encode_color(rgb, quality=92, sampling="420"))
+    d422 = jpeg_decode(jpeg_encode_color(rgb, quality=92, sampling="422"))
+    assert C.psnr(rgb.astype(float), d422.astype(float)) >= C.psnr(
+        rgb.astype(float), d420.astype(float)
+    )
