@@ -8,14 +8,20 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline DCT, 8-bit, grayscale and color in any
-sampling layout with integral upsample ratios — 4:4:4, 4:2:0 (the
-layout virtually every camera/web encoder emits), 4:2:2, 4:4:0, 4:1:1
-(YCbCr BT.601; color decode returns a (3, h, w) uint8 array — the
-corpus's multiband convention; the encoder can emit all five).
-Progressive/arithmetic streams and fractional-ratio layouts (e.g.
-3:2, which would need an interpolating upsampler) raise
-NotImplementedError. Float
+Scope (documented): baseline-sequential AND progressive (SOF2) DCT,
+8-bit, grayscale and color in any sampling layout with integral
+upsample ratios — 4:4:4, 4:2:0 (the layout virtually every camera/web
+encoder emits), 4:2:2, 4:4:0, 4:1:1 (YCbCr BT.601; color decode
+returns a (3, h, w) uint8 array — the corpus's multiband convention;
+the encoders can emit all five). Progressive decode covers the full
+T.81 G feature set — spectral selection, successive approximation
+(DC + AC refinement with EOB runs), interleaved and single-component
+scans, DHT redefinition between scans — and jpeg_encode_progressive
+emits a spectral+SA scan script whose decode is coefficient-exact
+against the baseline encoding of the same image (pinned in
+test_jpeg). Arithmetic/lossless/hierarchical streams and
+fractional-ratio layouts (e.g. 3:2, which would need an
+interpolating upsampler) raise NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
 carried in an APP15 segment (standard-legal: unknown APPn segments are
 skipped by other decoders), so OUR decoder returns float32 while
@@ -409,6 +415,291 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
     return bytes(out)
 
 
+def _flat_ac_bits_vals():
+    """A valid (canonical, non-degenerate) Huffman table over every AC
+    symbol a progressive scan can emit: (run<<4)|size for size 0..10 —
+    size 0 covers EOB0..EOB14 (run 0..14) and ZRL (run 15). Uniform
+    9-bit codes (Kraft sum 176/512 < 1; the all-ones code stays unused),
+    so no per-scan frequency pass is needed. ~1 bit/symbol worse than
+    Annex K — irrelevant for a correctness-first encoder."""
+    vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    bits = [0] * 16
+    bits[8] = len(vals)  # all codes length 9
+    return bits, vals
+
+
+def _emit_vli(bw_, v: int, cat: int) -> None:
+    if cat:
+        bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
+
+
+def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
+                            sampling: str = "420") -> bytes:
+    """Encode uint8 grayscale (2D) or RGB (3-band) as a PROGRESSIVE JPEG
+    (SOF2) with both spectral selection and successive approximation —
+    the scan script is DC(Al=1) → DC refine → per-component AC bands
+    (1-5, 6-63 at Al=2) → AC refine (Al=2→1) → AC refine (Al=1→0), so a
+    conforming decoder reconstructs the EXACT same coefficients as the
+    baseline encoding (test_jpeg pins that equivalence against
+    jpeg_decode). Primary role: exercising/validating the progressive
+    decode path plus compatibility output; the corpus hot path stays
+    baseline. Float tiles: use baseline jpeg_encode (APP15 sidecar)."""
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[-1] == 3 and a.shape[0] != 3:
+        a = np.transpose(a, (2, 0, 1))
+    if np.issubdtype(a.dtype, np.floating):
+        raise ValueError("progressive encoder takes uint8 input")
+    q = min(max(int(quality), 1), 100)
+    sf = 5000 // q if q < 50 else 200 - 2 * q
+    if a.ndim == 2:
+        h, w = a.shape
+        samps = [(1, 1)]
+        qtids = [0]
+        qts = [_quality_qt(quality)]
+        planes = [a.astype(np.float64)]
+    else:
+        assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
+        _SAMPS = {"444": (1, 1), "420": (2, 2), "422": (2, 1),
+                  "440": (1, 2), "411": (4, 1)}
+        if sampling not in _SAMPS:
+            raise ValueError("sampling must be one of "
+                             "'444','420','422','440','411'")
+        h, w = a.shape[1:]
+        sh0, sv0 = _SAMPS[sampling]
+        samps = [(sh0, sv0), (1, 1), (1, 1)]
+        qt_c = np.clip((STD_CHROMA_QT * sf + 50) // 100, 1, 255).astype(
+            np.int64)
+        qtids = [0, 1, 1]
+        qts = [_quality_qt(quality), qt_c]
+        ycc = _rgb_to_ycbcr(a.astype(np.float64))
+        planes = list(ycc)
+    ncomp = len(planes)
+    hmax = max(s for s, _ in samps)
+    vmax = max(s for _, s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # MCU-grid-padded coefficient grids, raster block order (stride
+    # bw_c = mcux*sh) — identical layout to the decoder's grids. Pad the
+    # FULL-RES plane to the MCU extent first, then block-mean subsample
+    # (the baseline encoder's order, so coefficients match it exactly).
+    zz = []
+    fth, ftw = mcuy * vmax * 8, mcux * hmax * 8
+    for ci, (sh, sv) in enumerate(samps):
+        pl = planes[ci]
+        if pl.shape != (fth, ftw):
+            pl = np.pad(pl, ((0, fth - pl.shape[0]), (0, ftw - pl.shape[1])),
+                        mode="edge")
+        ry, rx = vmax // sv, hmax // sh
+        if ry > 1 or rx > 1:
+            pl = pl.reshape(fth // ry, ry, ftw // rx, rx).mean(axis=(1, 3))
+        zz.append(_quantized_zigzag(pl, qts[qtids[ci]]))
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_bits, ac_vals = _flat_ac_bits_vals()
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    def dims(ci):
+        sh, sv = samps[ci]
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8, mcux * sh
+
+    def sos(cids, ss, se, ah, al, entropy):
+        hdr = bytes([len(cids)]) + b"".join(
+            bytes([cid, 0x00]) for cid in cids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr) + entropy
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
+    if len(qts) > 1:
+        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    # ---- scan 1: DC first pass, Al=1, interleaved over all components
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci in range(ncomp):
+            sh, sv = samps[ci]
+            bw_c = mcux * sh
+            for v in range(sv):
+                for u in range(sh):
+                    bi = (my * sv + v) * bw_c + (mx * sh + u)
+                    val = int(zz[ci][bi][0]) >> 1  # point transform
+                    diff = val - preds[ci]
+                    preds[ci] = val
+                    cat = _category(diff)
+                    code, ln = dc_codes[cat]
+                    bw_.write(code, ln)
+                    _emit_vli(bw_, diff, cat)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1, bw_.flush())
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    bw_ = _BitWriter()
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci in range(ncomp):
+            sh, sv = samps[ci]
+            bw_c = mcux * sh
+            for v in range(sv):
+                for u in range(sh):
+                    bi = (my * sv + v) * bw_c + (mx * sh + u)
+                    bw_.write(int(zz[ci][bi][0]) & 1, 1)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0, bw_.flush())
+
+    # ---- AC scans per component: spectral bands at Al=2, then two
+    # successive-approximation refinement passes over the full band
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss, se, 0, 2,
+                       _ac_first_scan(zz[ci], dims(ci), ss, se, 2, ac_codes))
+    for ah in (2, 1):
+        for ci in range(ncomp):
+            out += sos([ci + 1], 1, 63, ah, ah - 1,
+                       _ac_refine_scan(zz[ci], dims(ci), 1, 63, ah - 1,
+                                       ac_codes))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ac_first_scan(zzc, dims, ss, se, al, ac_codes) -> bytes:
+    """Entropy data of one first-pass AC scan (T.81 G.1.2.2): values are
+    point-transformed (truncate toward zero) by 2^Al; all-zero bands
+    accumulate EOB runs (EOBn symbols carry the run length)."""
+    bh_s, bw_s, bw_c = dims
+    bw_ = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw_.write(code, ln)
+            bw_.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for u in range(bh_s * bw_s):
+        r_, c_ = divmod(u, bw_s)
+        blk = zzc[r_ * bw_c + c_]
+        band = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            band.append(v >> al if v >= 0 else -((-v) >> al))
+        last = -1
+        for i, t in enumerate(band):
+            if t:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for t in band[: last + 1]:
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw_.write(code, ln)
+                run -= 16
+            cat = _category(t)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw_.write(code, ln)
+            _emit_vli(bw_, t, cat)
+            run = 0
+        if last < se - ss:
+            eobrun = 1
+    flush_eobrun()
+    return bw_.flush()
+
+
+def _ac_refine_scan(zzc, dims, ss, se, al, ac_codes) -> bytes:
+    """Entropy data of one AC successive-approximation refinement scan
+    (T.81 G.1.2.3). The bit order is dictated by the decoder's traversal,
+    so this emits exactly that read sequence: per newly-significant
+    coefficient (point-transformed magnitude exactly 1) a run symbol
+    counting ZERO-history positions + its sign bit, with one correction
+    bit interleaved for every already-significant coefficient the
+    decoder advances across; blocks (or block tails) without
+    newly-significant coefficients join an EOB run whose correction bits
+    ride immediately after the EOBn code."""
+    bh_s, bw_s, bw_c = dims
+    bw_ = _BitWriter()
+    eobrun = 0
+    eob_bits: list[int] = []  # correction bits owned by the pending run
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw_.write(code, ln)
+            bw_.write(eobrun - (1 << n), n)
+            eobrun = 0
+            for b in eob_bits:
+                bw_.write(b, 1)
+            eob_bits.clear()
+
+    nband = se - ss + 1
+    for u in range(bh_s * bw_s):
+        r_, c_ = divmod(u, bw_s)
+        blk = zzc[r_ * bw_c + c_]
+        vals = [int(blk[k]) for k in range(ss, se + 1)]
+        t = [abs(v) >> al for v in vals]
+        newly = [i for i, x in enumerate(t) if x == 1]
+        if not newly:
+            # EOB block: every history coefficient still gets one bit
+            eobrun += 1
+            eob_bits.extend(x & 1 for x in t if x > 1)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        k = 0  # current band-relative position of the decoder
+        for pos in newly:
+            while True:
+                seg = [i for i in range(k, pos) if t[i] == 0]
+                if len(seg) <= 15:
+                    break
+                # ZRL: decoder skips 16 zero-history positions, reading a
+                # correction bit at each nonzero it crosses
+                code, ln = ac_codes[0xF0]
+                bw_.write(code, ln)
+                z16 = seg[15]
+                for i in range(k, z16):
+                    if t[i] > 1:
+                        bw_.write(t[i] & 1, 1)
+                k = z16 + 1
+            r = sum(1 for i in range(k, pos) if t[i] == 0)
+            code, ln = ac_codes[(r << 4) | 1]
+            bw_.write(code, ln)
+            bw_.write(1 if vals[pos] > 0 else 0, 1)
+            for i in range(k, pos):
+                if t[i] > 1:
+                    bw_.write(t[i] & 1, 1)
+            k = pos + 1
+        if k < nband:
+            # trailing region: consumed by the decoder's EOB logic
+            eobrun += 1
+            eob_bits.extend(t[i] & 1 for i in range(k, nband) if t[i] > 1)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return bw_.flush()
+
+
 class _BitReader:
     """Bit reader over unstuffed entropy data with 16-bit peek."""
 
@@ -465,13 +756,172 @@ def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
     return pred
 
 
+def _comp_block_dims(comp, mcux, w, h, hmax, vmax):
+    """True (non-MCU-padded) block-grid dims + the MCU-padded row stride
+    for one component (T.81 A.2.2: ceil sizes from the sampling ratio)."""
+    _, _, sh, sv = comp
+    cw = (w * sh + hmax - 1) // hmax
+    ch = (h * sv + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8, mcux * sh
+
+
+def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
+    """Apply one progressive scan (T.81 G.2) to the coefficient grids.
+
+    DC scans (Ss=0) run interleaved in MCU order (or in component raster
+    order when the scan holds one component); AC scans hold exactly one
+    component and traverse its own block raster. Ah=0 scans deliver new
+    (point-transformed) values; Ah>0 scans deliver one successive-
+    approximation bit per coefficient (G.1.2.3 refinement with EOB runs).
+    """
+    (cids, stabs, ss, se, ah, al, body, rst_marks, restart, sdc, sac) = scan
+    br = _BitReader(body)
+    rst_iter = iter(rst_marks)
+    next_rst = next(rst_iter, None)
+    idxs = []
+    for cid in cids:
+        idxs.append(next(i for i, c in enumerate(comps) if c[0] == cid))
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def huff(tab):
+        sym, ln = tab
+        win = br.peek16()
+        br.skip(int(ln[win]))
+        return int(sym[win])
+
+    def refine_nonzero(zz, k):
+        # correction bit for an already-nonzero coefficient (G.1.2.3):
+        # 1 -> grow the magnitude by 1<<Al if that bit isn't set yet
+        if br.take(1) and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    if ss == 0:  # ---- DC scan ----
+        assert se == 0, "DC progressive scan must have Se=0"
+        preds = {ci: 0 for ci in idxs}
+        dctabs = {ci: sdc.get(stabs[comps[ci][0]][0]) for ci in idxs}
+
+        def dc_block(ci, zz):
+            if ah == 0:
+                cat = huff(dctabs[ci])
+                diff = _extend(br.take(cat), cat) if cat else 0
+                preds[ci] += diff
+                zz[0] = preds[ci] << al
+            elif br.take(1):
+                zz[0] = int(zz[0]) | p1
+
+        if len(idxs) > 1:  # interleaved MCU traversal
+            for mi in range(mcux * mcuy):
+                if restart and mi and mi % restart == 0 \
+                        and next_rst is not None:
+                    br.pos = next_rst
+                    next_rst = next(rst_iter, None)
+                    preds = {ci: 0 for ci in idxs}
+                my, mx = divmod(mi, mcux)
+                for ci in idxs:
+                    _, _, sh, sv = comps[ci]
+                    bw_c = mcux * sh
+                    for v in range(sv):
+                        for u in range(sh):
+                            bi = (my * sv + v) * bw_c + (mx * sh + u)
+                            dc_block(ci, grids[ci][bi])
+        else:
+            ci = idxs[0]
+            bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
+                                                hmax, vmax)
+            for u in range(bh_s * bw_s):
+                if restart and u and u % restart == 0 \
+                        and next_rst is not None:
+                    br.pos = next_rst
+                    next_rst = next(rst_iter, None)
+                    preds = {ci: 0 for ci in idxs}
+                r_, c_ = divmod(u, bw_s)
+                dc_block(ci, grids[ci][r_ * bw_c + c_])
+        return
+
+    # ---- AC scan: exactly one component, own raster order ----
+    assert len(idxs) == 1, "progressive AC scan must hold one component"
+    ci = idxs[0]
+    actab = sac[stabs[comps[ci][0]][1]]
+    bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h, hmax, vmax)
+
+    def ac_first(zz):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = huff(actab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.take(r)
+                break
+            k += r
+            if k > se:
+                break  # corrupt stream guard
+            zz[k] = _extend(br.take(s), s) << al
+            k += 1
+
+    def ac_refine(zz):
+        nonlocal eobrun
+        k = ss
+        if not eobrun:
+            while k <= se:
+                rs = huff(actab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.take(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    # newly-significant coefficient: sign bit, value ±1<<Al
+                    val = p1 if br.take(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun:
+            # EOB-run block: correction bits for remaining history coeffs
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    apply = ac_first if ah == 0 else ac_refine
+    for u in range(bh_s * bw_s):
+        if restart and u and u % restart == 0 and next_rst is not None:
+            br.pos = next_rst
+            next_rst = next(rst_iter, None)
+            eobrun = 0
+        r_, c_ = divmod(u, bw_s)
+        apply(grids[ci][r_ * bw_c + c_])
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (any encoder): grayscale returns (h, w)
-    uint8 — or float32 when the stream carries this codec's APP15 rescale
-    sidecar; color returns (3, h, w) uint8 RGB (the corpus's multiband
-    convention) for any integral-ratio sampling layout (4:4:4, 4:2:0,
-    4:2:2, 4:4:0, 4:1:1, ...). Progressive/arithmetic streams and
-    fractional-ratio layouts raise NotImplementedError."""
+    """Decode a baseline-sequential OR progressive JPEG (any encoder):
+    grayscale returns (h, w) uint8 — or float32 when the stream carries
+    this codec's APP15 rescale sidecar; color returns (3, h, w) uint8 RGB
+    (the corpus's multiband convention) for any integral-ratio sampling
+    layout (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, ...). Arithmetic/
+    lossless/hierarchical streams and fractional-ratio layouts raise
+    NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -479,10 +929,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     ac_tabs: dict[int, tuple] = {}
     h = w = None
     comps: list = []          # (component id, quant table id) in SOF order
-    scan_tabs: dict = {}      # component id -> (dc table id, ac table id)
     restart = 0
     rescale = None
-    entropy_start = None
+    progressive = False
+    scans: list = []  # (comp ids in scan order, tabs, ss, se, ah, al,
+    #                    body, rst bit marks, restart interval)
     while pos < len(data):
         assert data[pos] == 0xFF, f"marker expected at {pos}"
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
@@ -511,7 +962,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 # DQT stores the table in zigzag scan order -> natural
                 qts[tq] = tbl.astype(np.int64)[UNZIGZAG]
                 off += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog.)
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload)
             assert prec == 8, "only 8-bit precision supported"
             if ncomp not in (1, 3):
@@ -539,10 +991,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     "unsupported sampling layout (non-integral chroma "
                     "upsample ratio or blocks-per-MCU > 10)"
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG is supported"
+                "only baseline-sequential and progressive DCT JPEG are "
+                "supported (lossless/hierarchical/arithmetic are not)"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -559,35 +1012,45 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             rescale = struct.unpack_from("<dd", payload, 4)
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            scan_cids = []
+            stabs: dict = {}
             for ci in range(ns):
                 cs, tt = payload[1 + 2 * ci], payload[2 + 2 * ci]
-                scan_tabs[cs] = (tt >> 4, tt & 0xF)
-            entropy_start = pos
-            break
+                scan_cids.append(cs)
+                stabs[cs] = (tt >> 4, tt & 0xF)
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            # entropy data runs until the next marker that isn't
+            # stuffing/RSTn; RSTn positions are recorded as bit marks
+            body = bytearray()
+            rst_bit_marks = []
+            p = pos
+            while p < len(data) - 1:
+                b = data[p]
+                if b == 0xFF:
+                    nxt = data[p + 1]
+                    if nxt == 0x00:
+                        body.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset
+                        rst_bit_marks.append(len(body) * 8)
+                        p += 2
+                        continue
+                    break  # EOI or next segment
+                body.append(b)
+                p += 1
+            pos = p
+            scans.append((
+                scan_cids, stabs, ss, se, ahal >> 4, ahal & 0xF,
+                bytes(body), rst_bit_marks, restart,
+                dict(dc_tabs), dict(ac_tabs),
+            ))
+            if not progressive:
+                break  # baseline: exactly one scan
         # other APPn/COM segments: skipped
-    assert entropy_start is not None and h is not None, "no scan found"
+    assert scans and h is not None, "no scan found"
 
-    # entropy data runs until the next marker that isn't stuffing/RSTn
-    body = bytearray()
-    rst_bit_marks = []
-    p = entropy_start
-    while p < len(data) - 1:
-        b = data[p]
-        if b == 0xFF:
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                body.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset predictors
-                rst_bit_marks.append(len(body) * 8)
-                p += 2
-                continue
-            break  # EOI or next segment
-        body.append(b)
-        p += 1
-
-    br = _BitReader(bytes(body))
     ncomp = len(comps)
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
@@ -599,28 +1062,37 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
         for c in comps
     ]
-    ctabs = [
-        (dc_tabs[scan_tabs[c[0]][0]], ac_tabs[scan_tabs[c[0]][1]])
-        for c in comps
-    ]
-    preds = [0] * ncomp
-    rst_iter = iter(rst_bit_marks)
-    next_rst = next(rst_iter, None)
-    for mi in range(nmcu):
-        if restart and mi and mi % restart == 0 and next_rst is not None:
-            br.pos = next_rst  # byte-aligned restart
-            next_rst = next(rst_iter, None)
-            preds = [0] * ncomp
-        my, mx = divmod(mi, mcux)
-        for ci, (cid, tq, sh, sv) in enumerate(comps):
-            bw_c = mcux * sh  # component blocks per row
-            for v in range(sv):
-                for u in range(sh):
-                    bi = (my * sv + v) * bw_c + (mx * sh + u)
-                    preds[ci] = _decode_one_block(
-                        br, grids[ci][bi], preds[ci],
-                        ctabs[ci][0], ctabs[ci][1],
-                    )
+    if progressive:
+        for scan in scans:
+            _apply_progressive_scan(
+                scan, comps, grids, mcux, mcuy, w, h, hmax, vmax
+            )
+    else:
+        (_, scan_tabs, _, _, _, _, body, rst_bit_marks, restart,
+         sdc, sac) = scans[0]
+        br = _BitReader(body)
+        ctabs = [
+            (sdc[scan_tabs[c[0]][0]], sac[scan_tabs[c[0]][1]])
+            for c in comps
+        ]
+        preds = [0] * ncomp
+        rst_iter = iter(rst_bit_marks)
+        next_rst = next(rst_iter, None)
+        for mi in range(nmcu):
+            if restart and mi and mi % restart == 0 and next_rst is not None:
+                br.pos = next_rst  # byte-aligned restart
+                next_rst = next(rst_iter, None)
+                preds = [0] * ncomp
+            my, mx = divmod(mi, mcux)
+            for ci, (cid, tq, sh, sv) in enumerate(comps):
+                bw_c = mcux * sh  # component blocks per row
+                for v in range(sv):
+                    for u in range(sh):
+                        bi = (my * sv + v) * bw_c + (mx * sh + u)
+                        preds[ci] = _decode_one_block(
+                            br, grids[ci][bi], preds[ci],
+                            ctabs[ci][0], ctabs[ci][1],
+                        )
 
     planes = []
     for ci, (cid, tq, sh, sv) in enumerate(comps):

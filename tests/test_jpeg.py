@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from python_rasterstats_spark import codecs as C
+from python_rasterstats_spark import jpegcodec as J
 from python_rasterstats_spark.jpegcodec import (
     AC_BITS, AC_VALS, DC_BITS, DC_VALS, ZIGZAG, _canonical_codes,
     jpeg_decode, jpeg_encode,
@@ -80,12 +81,12 @@ def test_float_sidecar_and_odd_shapes():
         jpeg_encode(np.array([[1.0, np.nan]], dtype=np.float32))
 
 
-def test_progressive_and_cmyk_rejected():
+def test_arithmetic_and_cmyk_rejected():
     a = np.full((8, 8), 50, dtype=np.uint8)
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    b[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_decode(bytes(b))
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
@@ -302,3 +303,74 @@ def test_422_440_411_roundtrips():
     assert C.psnr(rgb.astype(float), d422.astype(float)) >= C.psnr(
         rgb.astype(float), d420.astype(float)
     )
+
+
+def test_progressive_decode_coefficient_exact():
+    """r5: progressive (SOF2) support. jpeg_encode_progressive emits a
+    spectral-selection + successive-approximation scan script (DC Al=1 →
+    DC refine → AC bands 1-5/6-63 at Al=2 → two AC refinement passes);
+    since successive approximation is lossless once all bits are sent,
+    decoding it must reproduce the baseline encoding's pixels EXACTLY —
+    any entropy/bit-order bug on either side breaks equality."""
+    from python_rasterstats_spark.jpegcodec import (
+        jpeg_encode_color, jpeg_encode_progressive,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    g = (128 + 60 * np.sin(x / 9.0) + 30 * np.cos(y / 7.0)).clip(0, 255)
+    g = g.astype(np.uint8)
+
+    p = jpeg_encode_progressive(g, quality=90)
+    assert b"\xff\xc2" in p  # SOF2 marker present
+    assert np.array_equal(jpeg_decode(p), jpeg_decode(J.jpeg_encode(g, quality=90)))
+
+    # sparse image: long EOB runs and ZRL paths in every scan
+    s = np.full((64, 72), 100, np.uint8)
+    s[5, 9] = 250
+    s[40, 33] = 0
+    s[63, 71] = 200
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(s, quality=85)),
+        jpeg_decode(J.jpeg_encode(s, quality=85)),
+    )
+
+    # color: every sampling layout, even and odd sizes (non-interleaved
+    # AC scans walk the component's own raster, not the MCU grid)
+    rgb = np.stack([g, (g * 0.7 + 40).astype(np.uint8), 255 - g])
+    for samp in ("444", "420", "422", "411", "440"):
+        for img in (rgb, rgb[:, :37, :45]):
+            assert np.array_equal(
+                jpeg_decode(jpeg_encode_progressive(img, quality=92,
+                                                    sampling=samp)),
+                jpeg_decode(jpeg_encode_color(img, quality=92,
+                                              sampling=samp)),
+            ), (samp, img.shape)
+
+    # noise stresses every run-length/EOB/correction-bit combination
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n = rng.integers(
+            0, 256,
+            size=(int(rng.integers(8, 80)), int(rng.integers(8, 80))),
+            dtype=np.uint8,
+        )
+        q = int(rng.integers(30, 99))
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_progressive(n, quality=q)),
+            jpeg_decode(J.jpeg_encode(n, quality=q)),
+        ), (n.shape, q)
+
+
+def test_progressive_rejects_float_and_zonal_differential(corpus=None):
+    """Float tiles stay on the baseline (APP15) path; a zonal-style mean
+    over progressive payloads matches the numpy mean within the known
+    quantization tolerance."""
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_progressive
+
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg_encode_progressive(np.zeros((8, 8), np.float32))
+
+    rng = np.random.default_rng(4)
+    tile = (rng.uniform(40, 200, (32, 32))).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_progressive(tile, quality=95))
+    assert abs(float(dec.mean()) - float(tile.mean())) < 1.5
