@@ -154,12 +154,14 @@ def tfidf_top_terms(docs: DataFrame) -> DataFrame:
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
-    scored = tf.join(df_, "term").withColumn(
+    # N rides the plan as a broadcast 1-row aggregate — no driver collect,
+    # the whole query stays one lazy DAG
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = tf.join(df_, "term").join(F.broadcast(n_docs)).withColumn(
         "score_r",
         F.round(
             F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)) + 1.0),
             6,
         ),
     )
@@ -197,22 +199,30 @@ def contamination_check(
         train_pred = F.pmod(F.col("doc_id"), F.lit(2)) == 0
     if test_pred is None:
         test_pred = F.pmod(F.col("doc_id"), F.lit(2)) == 1
-    train_grams = base.filter(train_pred).select("g").distinct()
-    test = base.filter(test_pred)
-    hits = (
-        test.join(train_grams, "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+    train_grams = (
+        base.filter(train_pred).select("g").distinct()
+        .withColumn("hit", F.lit(1))
     )
-    totals = test.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    return totals.join(hits, "doc_id", "left").select(
+    # one pass over the exploded test grams: the left join marks hits and
+    # a single aggregation yields both tallies (no second gram scan, no
+    # final doc_id join)
+    agg = (
+        base.filter(test_pred)
+        .join(train_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_overlap"),
+        )
+    )
+    return agg.select(
         "doc_id",
         "n_grams",
-        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-        F.round(F.coalesce("n_overlap", F.lit(0)) / F.col("n_grams"), 6).alias(
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias(
             "contam_ratio_r"
         ),
-        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        (F.col("n_overlap") > 0).alias("contaminated"),
     )
 
 

@@ -122,11 +122,25 @@ _T = _dct_matrix()
 
 
 def _quality_qt(quality: int) -> np.ndarray:
-    """Annex-K table scaled by the conventional quality formula."""
+    """Annex-K luminance table scaled by the conventional quality formula."""
+    return _scaled_qt(STD_LUM_QT, quality)
+
+
+def _chroma_qt(quality: int) -> np.ndarray:
+    """Annex-K chrominance table, same quality scaling."""
+    return _scaled_qt(STD_CHROMA_QT, quality)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     q = min(max(int(quality), 1), 100)
     sf = 5000 // q if q < 50 else 200 - 2 * q
-    qt = (STD_LUM_QT * sf + 50) // 100
+    qt = (base * sf + 50) // 100
     return np.clip(qt, 1, 255).astype(np.int64)
+
+
+# chroma-subsampling layouts: name -> Y component's (h, v) factors
+SAMPLING_LAYOUTS = {"444": (1, 1), "420": (2, 2), "422": (2, 1),
+                    "440": (1, 2), "411": (4, 1)}
 
 
 def _canonical_codes(bits, vals):
@@ -337,15 +351,11 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
     assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
     if np.issubdtype(a.dtype, np.floating):
         raise ValueError("color jpeg takes uint8 bands")
-    _SAMPS = {"420": (2, 2), "422": (2, 1), "440": (1, 2), "411": (4, 1)}
-    if sampling != "444" and sampling not in _SAMPS:
+    if sampling not in SAMPLING_LAYOUTS:
         raise ValueError("sampling must be one of '444','420','422','440','411'")
     h, w = a.shape[1:]
     planes = _rgb_to_ycbcr(a.astype(np.float64))
-    q = min(max(int(quality), 1), 100)
-    sf = 5000 // q if q < 50 else 200 - 2 * q
-    qt_c = np.clip((STD_CHROMA_QT * sf + 50) // 100, 1, 255).astype(np.int64)
-    qts = [_quality_qt(quality), qt_c]
+    qts = [_quality_qt(quality), _chroma_qt(quality)]
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw_ = _BitWriter()
@@ -363,7 +373,7 @@ def jpeg_encode_color(rgb: np.ndarray, *, quality: int = 95,
                     bw_, zzs[ci][bi], preds[ci], dc_codes, ac_codes
                 )
     else:
-        sh0, sv0 = _SAMPS[sampling]
+        sh0, sv0 = SAMPLING_LAYOUTS[sampling]
         samps = ((sh0, sv0), (1, 1), (1, 1))
         # pad Y to MCU multiples so tiling is exact; chroma = sv0×sh0 means
         mh, mw = 8 * sv0, 8 * sh0
@@ -449,8 +459,6 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
         a = np.transpose(a, (2, 0, 1))
     if np.issubdtype(a.dtype, np.floating):
         raise ValueError("progressive encoder takes uint8 input")
-    q = min(max(int(quality), 1), 100)
-    sf = 5000 // q if q < 50 else 200 - 2 * q
     if a.ndim == 2:
         h, w = a.shape
         samps = [(1, 1)]
@@ -459,18 +467,14 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
         planes = [a.astype(np.float64)]
     else:
         assert a.ndim == 3 and a.shape[0] == 3, "color input must be 3-band"
-        _SAMPS = {"444": (1, 1), "420": (2, 2), "422": (2, 1),
-                  "440": (1, 2), "411": (4, 1)}
-        if sampling not in _SAMPS:
+        if sampling not in SAMPLING_LAYOUTS:
             raise ValueError("sampling must be one of "
                              "'444','420','422','440','411'")
         h, w = a.shape[1:]
-        sh0, sv0 = _SAMPS[sampling]
+        sh0, sv0 = SAMPLING_LAYOUTS[sampling]
         samps = [(sh0, sv0), (1, 1), (1, 1)]
-        qt_c = np.clip((STD_CHROMA_QT * sf + 50) // 100, 1, 255).astype(
-            np.int64)
         qtids = [0, 1, 1]
-        qts = [_quality_qt(quality), qt_c]
+        qts = [_quality_qt(quality), _chroma_qt(quality)]
         ycc = _rgb_to_ycbcr(a.astype(np.float64))
         planes = list(ycc)
     ncomp = len(planes)
@@ -500,9 +504,7 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
 
     def dims(ci):
         sh, sv = samps[ci]
-        cw = (w * sh + hmax - 1) // hmax
-        ch = (h * sv + vmax - 1) // vmax
-        return (ch + 7) // 8, (cw + 7) // 8, mcux * sh
+        return _comp_block_dims((0, 0, sh, sv), mcux, w, h, hmax, vmax)
 
     def sos(cids, ss, se, ah, al, entropy):
         hdr = bytes([len(cids)]) + b"".join(
@@ -1078,21 +1080,40 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         preds = [0] * ncomp
         rst_iter = iter(rst_bit_marks)
         next_rst = next(rst_iter, None)
-        for mi in range(nmcu):
-            if restart and mi and mi % restart == 0 and next_rst is not None:
-                br.pos = next_rst  # byte-aligned restart
-                next_rst = next(rst_iter, None)
-                preds = [0] * ncomp
-            my, mx = divmod(mi, mcux)
-            for ci, (cid, tq, sh, sv) in enumerate(comps):
-                bw_c = mcux * sh  # component blocks per row
-                for v in range(sv):
-                    for u in range(sh):
-                        bi = (my * sv + v) * bw_c + (mx * sh + u)
-                        preds[ci] = _decode_one_block(
-                            br, grids[ci][bi], preds[ci],
-                            ctabs[ci][0], ctabs[ci][1],
-                        )
+        if ncomp == 1:
+            # single-component scans are NON-interleaved (T.81 A.2): one
+            # data unit per true raster block, regardless of the declared
+            # sampling factors (which only matter against other comps)
+            bh_s, bw_s, bw_c = _comp_block_dims(comps[0], mcux, w, h,
+                                                hmax, vmax)
+            for u in range(bh_s * bw_s):
+                if restart and u and u % restart == 0 \
+                        and next_rst is not None:
+                    br.pos = next_rst
+                    next_rst = next(rst_iter, None)
+                    preds = [0]
+                r_, c_ = divmod(u, bw_s)
+                preds[0] = _decode_one_block(
+                    br, grids[0][r_ * bw_c + c_], preds[0],
+                    ctabs[0][0], ctabs[0][1],
+                )
+        else:
+            for mi in range(nmcu):
+                if restart and mi and mi % restart == 0 \
+                        and next_rst is not None:
+                    br.pos = next_rst  # byte-aligned restart
+                    next_rst = next(rst_iter, None)
+                    preds = [0] * ncomp
+                my, mx = divmod(mi, mcux)
+                for ci, (cid, tq, sh, sv) in enumerate(comps):
+                    bw_c = mcux * sh  # component blocks per row
+                    for v in range(sv):
+                        for u in range(sh):
+                            bi = (my * sv + v) * bw_c + (mx * sh + u)
+                            preds[ci] = _decode_one_block(
+                                br, grids[ci][bi], preds[ci],
+                                ctabs[ci][0], ctabs[ci][1],
+                            )
 
     planes = []
     for ci, (cid, tq, sh, sv) in enumerate(comps):

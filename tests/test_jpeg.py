@@ -361,7 +361,7 @@ def test_progressive_decode_coefficient_exact():
         ), (n.shape, q)
 
 
-def test_progressive_rejects_float_and_zonal_differential(corpus=None):
+def test_progressive_rejects_float_and_zonal_differential():
     """Float tiles stay on the baseline (APP15) path; a zonal-style mean
     over progressive payloads matches the numpy mean within the known
     quantization tolerance."""
@@ -374,3 +374,91 @@ def test_progressive_rejects_float_and_zonal_differential(corpus=None):
     tile = (rng.uniform(40, 200, (32, 32))).astype(np.uint8)
     dec = jpeg_decode(jpeg_encode_progressive(tile, quality=95))
     assert abs(float(dec.mean()) - float(tile.mean())) < 1.5
+
+
+def test_zonal_over_progressive_jpeg_tiles(spark):
+    """Distributed path: tile payloads that are PROGRESSIVE JPEG streams
+    decode on executors and zonal stats match the kernel oracle over the
+    decoded mosaic — the engine ingests what a web crawl actually
+    contains (progressive is common for large web images)."""
+    from python_rasterstats_spark import geom as G
+    from python_rasterstats_spark import kernel as K
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_progressive
+    from python_rasterstats_spark.operators.zonal import zonal_stats_df
+    from python_rasterstats_spark.sources.tables import (
+        ZONES_DDL, raster_to_tables,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    arr = (100 + 50 * np.sin(x / 5.0) * np.cos(y / 7.0)).astype(np.float32)
+    aff = (1.0, 0.0, 0.0, 0.0, -1.0, 32.0)
+    tiles, datasets = raster_to_tables(
+        spark, arr, aff, dataset="pj", nodata=-1.0, fmt="jpeg", tile=16
+    )
+    # swap every payload for a progressive encoding of the same pixels
+    rows = []
+    for r in tiles.collect():
+        px = C.decode_tile(bytes(r["bytes"]), "jpeg")
+        d = r.asDict()
+        d["bytes"] = bytearray(
+            jpeg_encode_progressive(np.asarray(px, np.uint8), quality=95)
+        )
+        rows.append(d)
+    tiles_p = spark.createDataFrame(rows, tiles.schema)
+    mosaic = np.zeros_like(arr)
+    for r in rows:
+        blk = C.decode_tile(bytes(r["bytes"]), "jpeg")
+        mosaic[r["tile_row"] * 16 : r["tile_row"] * 16 + 16,
+               r["tile_col"] * 16 : r["tile_col"] * 16 + 16] = blk
+    zone = G.box(3.0, 3.0, 29.0, 29.0)
+    zones = spark.createDataFrame(
+        [{"zone_id": 0, "collection": "t", "geometry_wkb": G.wkb_dumps(zone),
+          "geom_type": "Polygon", "properties": {}}], schema=ZONES_DDL,
+    )
+    got = zonal_stats_df(
+        zones, tiles_p, datasets, dataset="pj",
+        stats=["count", "min", "max", "mean"],
+    ).collect()[0].asDict()
+    want = K.zonal_stats_one(
+        zone, mosaic, aff, nodata=-1.0,
+        stats=["count", "min", "max", "mean"],
+    )
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v), k
+
+
+def test_single_component_nonunit_sampling_decodes_raster_order():
+    """r5 review fix: a baseline grayscale frame may legally declare
+    non-1x1 sampling factors (they only matter relative to other
+    components); its single-component scan is NON-interleaved — one data
+    unit per true raster block. Build such a stream by hand (as a foreign
+    encoder would) and pin it to the plain 1x1 encoding's pixels."""
+    y, x = np.mgrid[0:24, 0:20]
+    img = (120 + 70 * np.sin(x / 4.0) + 40 * np.cos(y / 5.0)).clip(0, 255)
+    img = img.astype(np.uint8)
+    base = jpeg_encode(img, quality=88)  # declares 1x1
+    ref = jpeg_decode(base)
+
+    # foreign-style stream: SOF says 2x2 for the only component; entropy
+    # is the same ceil(h/8) x ceil(w/8) blocks in raster order
+    qt = J._quality_qt(88)
+    zz = J._quantized_zigzag(img.astype(np.float64), qt)
+    dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+    bw = J._BitWriter()
+    pred = 0
+    for blk in zz:
+        pred = J._encode_block(bw, blk, pred, dc_codes, ac_codes)
+    entropy = bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xE0, J._JFIF_APP0)
+    out += J._seg(0xDB, b"\x00" + bytes(qt[J.ZIGZAG].tolist()))
+    out += J._seg(0xC0, struct.pack(">BHHB", 8, 24, 20, 1)
+                  + bytes([1, 0x22, 0]))  # 2x2 sampling factors
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+    out += J._seg(0xC4, bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS))
+    out += J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+    got = jpeg_decode(bytes(out))
+    assert got.shape == (24, 20)
+    assert np.array_equal(got, ref)
