@@ -19,8 +19,12 @@ T.81 G feature set — spectral selection, successive approximation
 scans, DHT redefinition between scans — and jpeg_encode_progressive
 emits a spectral+SA scan script whose decode is coefficient-exact
 against the baseline encoding of the same image (pinned in
-test_jpeg). Arithmetic/lossless/hierarchical streams and
-fractional-ratio layouts (e.g. 3:2, which would need an
+test_jpeg). Baseline files may also carry one non-interleaved scan
+per component (T.81-legal; decoded via the same per-scan machinery),
+and the color convention follows the libjpeg rule: an Adobe APP14
+transform byte wins, component ids 'R','G','B' mean raw RGB planes,
+otherwise YCbCr. Arithmetic/lossless/hierarchical streams, Adobe
+YCCK, and fractional-ratio layouts (e.g. 3:2, which would need an
 interpolating upsampler) raise NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
 carried in an APP15 segment (standard-legal: unknown APPn segments are
@@ -767,6 +771,60 @@ def _comp_block_dims(comp, mcux, w, h, hmax, vmax):
     return (ch + 7) // 8, (cw + 7) // 8, mcux * sh
 
 
+def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
+    """Apply one baseline-sequential scan to the coefficient grids.
+
+    Multi-component scans interleave sh×sv blocks per component in MCU
+    order (T.81 A.2.3); a single-component scan is non-interleaved — one
+    data unit per true raster block of that component, whatever its
+    declared sampling factors. Baseline files usually hold ONE interleaved
+    scan, but one-scan-per-component files are legal and decode here too."""
+    (cids, stabs, _ss, _se, _ah, _al, body, rst_marks, restart,
+     sdc, sac) = scan
+    br = _BitReader(body)
+    rst_iter = iter(rst_marks)
+    next_rst = next(rst_iter, None)
+    idxs = []
+    for cid in cids:
+        idxs.append(next(i for i, c in enumerate(comps) if c[0] == cid))
+    ctabs = {
+        ci: (sdc[stabs[comps[ci][0]][0]], sac[stabs[comps[ci][0]][1]])
+        for ci in idxs
+    }
+    preds = {ci: 0 for ci in idxs}
+    if len(idxs) > 1:
+        for mi in range(mcux * mcuy):
+            if restart and mi and mi % restart == 0 and next_rst is not None:
+                br.pos = next_rst  # byte-aligned restart
+                next_rst = next(rst_iter, None)
+                preds = {ci: 0 for ci in idxs}
+            my, mx = divmod(mi, mcux)
+            for ci in idxs:
+                _, _, sh, sv = comps[ci]
+                bw_c = mcux * sh  # component blocks per row
+                for v in range(sv):
+                    for u in range(sh):
+                        bi = (my * sv + v) * bw_c + (mx * sh + u)
+                        preds[ci] = _decode_one_block(
+                            br, grids[ci][bi], preds[ci],
+                            ctabs[ci][0], ctabs[ci][1],
+                        )
+    else:
+        ci = idxs[0]
+        bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
+                                            hmax, vmax)
+        for u in range(bh_s * bw_s):
+            if restart and u and u % restart == 0 and next_rst is not None:
+                br.pos = next_rst
+                next_rst = next(rst_iter, None)
+                preds = {ci: 0 for ci in idxs}
+            r_, c_ = divmod(u, bw_s)
+            preds[ci] = _decode_one_block(
+                br, grids[ci][r_ * bw_c + c_], preds[ci],
+                ctabs[ci][0], ctabs[ci][1],
+            )
+
+
 def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     """Apply one progressive scan (T.81 G.2) to the coefficient grids.
 
@@ -934,6 +992,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     restart = 0
     rescale = None
     progressive = False
+    adobe_transform = None
     scans: list = []  # (comp ids in scan order, tabs, ss, se, ah, al,
     #                    body, rst bit marks, restart interval)
     while pos < len(data):
@@ -1012,6 +1071,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             (restart,) = struct.unpack_from(">H", payload)
         elif marker == 0xEF and payload[:4] == _APP15_TAG:
             rescale = struct.unpack_from("<dd", payload, 4)
+        elif marker == 0xEE and payload[:5] == b"Adobe" and len(payload) >= 12:
+            adobe_transform = payload[11]  # 0=RGB/unknown, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS
             ns = payload[0]
             scan_cids = []
@@ -1048,8 +1109,6 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bytes(body), rst_bit_marks, restart,
                 dict(dc_tabs), dict(ac_tabs),
             ))
-            if not progressive:
-                break  # baseline: exactly one scan
         # other APPn/COM segments: skipped
     assert scans and h is not None, "no scan found"
 
@@ -1058,62 +1117,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     vmax = max(c[3] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    nmcu = mcux * mcuy
     # per-component block grids (MCU-aligned)
     grids = [
         np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
         for c in comps
     ]
-    if progressive:
-        for scan in scans:
-            _apply_progressive_scan(
-                scan, comps, grids, mcux, mcuy, w, h, hmax, vmax
-            )
-    else:
-        (_, scan_tabs, _, _, _, _, body, rst_bit_marks, restart,
-         sdc, sac) = scans[0]
-        br = _BitReader(body)
-        ctabs = [
-            (sdc[scan_tabs[c[0]][0]], sac[scan_tabs[c[0]][1]])
-            for c in comps
-        ]
-        preds = [0] * ncomp
-        rst_iter = iter(rst_bit_marks)
-        next_rst = next(rst_iter, None)
-        if ncomp == 1:
-            # single-component scans are NON-interleaved (T.81 A.2): one
-            # data unit per true raster block, regardless of the declared
-            # sampling factors (which only matter against other comps)
-            bh_s, bw_s, bw_c = _comp_block_dims(comps[0], mcux, w, h,
-                                                hmax, vmax)
-            for u in range(bh_s * bw_s):
-                if restart and u and u % restart == 0 \
-                        and next_rst is not None:
-                    br.pos = next_rst
-                    next_rst = next(rst_iter, None)
-                    preds = [0]
-                r_, c_ = divmod(u, bw_s)
-                preds[0] = _decode_one_block(
-                    br, grids[0][r_ * bw_c + c_], preds[0],
-                    ctabs[0][0], ctabs[0][1],
-                )
-        else:
-            for mi in range(nmcu):
-                if restart and mi and mi % restart == 0 \
-                        and next_rst is not None:
-                    br.pos = next_rst  # byte-aligned restart
-                    next_rst = next(rst_iter, None)
-                    preds = [0] * ncomp
-                my, mx = divmod(mi, mcux)
-                for ci, (cid, tq, sh, sv) in enumerate(comps):
-                    bw_c = mcux * sh  # component blocks per row
-                    for v in range(sv):
-                        for u in range(sh):
-                            bi = (my * sv + v) * bw_c + (mx * sh + u)
-                            preds[ci] = _decode_one_block(
-                                br, grids[ci][bi], preds[ci],
-                                ctabs[ci][0], ctabs[ci][1],
-                            )
+    applier = _apply_progressive_scan if progressive else _apply_sequential_scan
+    for scan in scans:
+        applier(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax)
 
     planes = []
     for ci, (cid, tq, sh, sv) in enumerate(comps):
@@ -1141,5 +1152,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             lo, scale = rescale
             return (img * scale + lo).astype(np.float32)
         return img.astype(np.uint8)
-    rgb = _ycbcr_to_rgb(np.stack(planes))
+    if adobe_transform == 2:
+        raise NotImplementedError("Adobe YCCK color transform not supported")
+    # color convention (the libjpeg rule): Adobe APP14 transform byte wins;
+    # otherwise component ids 'R','G','B' mean the planes are raw RGB
+    rgb_direct = adobe_transform == 0 or (
+        adobe_transform is None and [c[0] for c in comps] == [0x52, 0x47, 0x42]
+    )
+    if rgb_direct:
+        rgb = np.stack(planes)
+    else:
+        rgb = _ycbcr_to_rgb(np.stack(planes))
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -462,3 +462,90 @@ def test_single_component_nonunit_sampling_decodes_raster_order():
     got = jpeg_decode(bytes(out))
     assert got.shape == (24, 20)
     assert np.array_equal(got, ref)
+
+
+def test_baseline_multiscan_per_component_file():
+    """Baseline files may carry one NON-interleaved scan per component
+    (legal T.81; some encoders emit this for 4:4:4). Build one by hand
+    and pin it to the interleaved encoding's pixels."""
+    from python_rasterstats_spark.jpegcodec import (
+        STD_CHROMA_QT, _chroma_qt, jpeg_encode_color,
+    )
+
+    y, x = np.mgrid[0:24, 0:24]
+    g = (120 + 60 * np.sin(x / 5.0) + 50 * np.cos(y / 6.0)).clip(0, 255)
+    g = g.astype(np.uint8)
+    rgb = np.stack([g, 255 - g, (g * 0.6 + 30).astype(np.uint8)])
+    inter = jpeg_encode_color(rgb, quality=90, sampling="444")
+    ref = jpeg_decode(inter)
+
+    qt_l, qt_c = J._quality_qt(90), _chroma_qt(90)
+    ycc = J._rgb_to_ycbcr(rgb.astype(np.float64))
+    dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xE0, J._JFIF_APP0)
+    out += J._seg(0xDB, b"\x00" + bytes(qt_l[J.ZIGZAG].tolist()))
+    out += J._seg(0xDB, b"\x01" + bytes(qt_c[J.ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, 24, 24, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += J._seg(0xC0, sof)
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+    out += J._seg(0xC4, bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS))
+    # one scan per component, each with its own predictor chain
+    for ci, qt in ((0, qt_l), (1, qt_c), (2, qt_c)):
+        zz = J._quantized_zigzag(ycc[ci], qt)
+        bw = J._BitWriter()
+        pred = 0
+        for blk in zz:
+            pred = J._encode_block(bw, blk, pred, dc_codes, ac_codes)
+        out += J._seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+    got = jpeg_decode(bytes(out))
+    assert got.shape == (3, 24, 24)
+    assert np.array_equal(got, ref)
+
+
+def test_rgb_component_ids_skip_color_transform():
+    """3-component JPEGs whose component ids are 'R','G','B' (or whose
+    Adobe APP14 transform byte is 0) carry raw RGB planes — the libjpeg
+    convention. Build one by hand; channels must come back untransformed."""
+    y, x = np.mgrid[0:16, 0:16]
+    r = (40 + 10 * x).clip(0, 255).astype(np.uint8)
+    g = (200 - 8 * y).clip(0, 255).astype(np.uint8)
+    b = np.full((16, 16), 77, np.uint8)
+    qt = J._quality_qt(95)
+    dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+    ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+    bw = J._BitWriter()
+    zzs = [J._quantized_zigzag(p.astype(np.float64), qt) for p in (r, g, b)]
+    preds = [0, 0, 0]
+    for bi in range(zzs[0].shape[0]):
+        for ci in range(3):
+            preds[ci] = J._encode_block(bw, zzs[ci][bi], preds[ci],
+                                        dc_codes, ac_codes)
+    out = bytearray(b"\xff\xd8")
+    out += J._seg(0xDB, b"\x00" + bytes(qt[J.ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    for cid in (0x52, 0x47, 0x42):  # 'R', 'G', 'B'
+        sof += bytes([cid, 0x11, 0])
+    out += J._seg(0xC0, sof)
+    out += J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS))
+    out += J._seg(0xC4, bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS))
+    sos = bytes([3]) + b"".join(bytes([cid, 0x00])
+                                for cid in (0x52, 0x47, 0x42))
+    out += J._seg(0xDA, sos + bytes([0, 63, 0]))
+    out += bw.flush() + b"\xff\xd9"
+    dec = jpeg_decode(bytes(out))
+    assert dec.shape == (3, 16, 16)
+    for want, got in zip((r, g, b), dec):
+        assert np.abs(want.astype(int) - got.astype(int)).max() <= 4
+
+    # an Adobe APP14 with transform=1 on ids 1,2,3 still means YCbCr: our
+    # own encoder's output must be unaffected by an added Adobe marker
+    base = J.jpeg_encode_color(np.stack([r, g, b]), quality=95)
+    adobe = J._seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1]))
+    patched = base[:2] + adobe + base[2:]
+    assert np.array_equal(jpeg_decode(patched), jpeg_decode(base))
