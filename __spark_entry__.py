@@ -894,6 +894,12 @@ def q_doc_contamination(spark, sf_dir):
     )
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    from python_rasterstats_spark.functions.textops import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir))
+
+
 def q_ann_cosine(spark, sf_dir):
     from python_rasterstats_spark.functions.similarity import cosine_neighbors
 
@@ -1119,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_seq_pack": q_doc_seq_pack,
         "doc_tfidf": q_doc_tfidf,
         "doc_contamination": q_doc_contamination,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_neardup": q_emb_neardup,
@@ -1671,6 +1678,27 @@ SELECT totals.doc_id, CAST(totals.n_grams AS BIGINT) AS n_grams,
        COALESCE(hits.n_overlap, 0) > 0 AS contaminated
 FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
+
+    from python_rasterstats_spark.functions.textops import PII_PATTERNS
+
+    _pii_stages = "t0 AS (SELECT doc_id, text AS t FROM documents)"
+    for _i, (_nm, _pat) in enumerate(PII_PATTERNS, start=1):
+        _p = _pat.replace("'", "''")
+        _pii_stages += (
+            f",\nt{_i} AS (SELECT doc_id, "
+            + ", ".join(f"n_{n}" for n, _ in PII_PATTERNS[: _i - 1])
+            + (", " if _i > 1 else "")
+            + f"CAST(len(regexp_extract_all(t, '{_p}')) AS BIGINT) AS n_{_nm}, "
+            f"regexp_replace(t, '{_p}', '<{_nm.upper()}>', 'g') AS t "
+            f"FROM t{_i - 1})"
+        )
+    _pii_sum = " + ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    sql["doc_pii_scrub"] = (
+        "WITH " + _pii_stages + "\nSELECT doc_id, "
+        + ", ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+        + f", md5(t) AS scrubbed_md5, ({_pii_sum}) > 0 AS had_pii FROM t"
+        + str(len(PII_PATTERNS))
+    )
 
     _dot = (
         "list_sum(list_transform(range(1, len({x}) + 1), "

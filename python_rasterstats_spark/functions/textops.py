@@ -226,6 +226,37 @@ def contamination_check(
     )
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) evaluate identically: no backrefs, no lookaround
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction (the scrubbing pass every public-corpus training
+    pipeline runs before tokenization): emails, phone numbers, IPv4
+    addresses and SSN-shaped ids are replaced with ``<TYPE>`` sentinels,
+    with per-type match counts for audit. Pure JVM ``regexp_replace`` /
+    ``regexp_count`` — codegen, no shuffle, trivially scales; patterns
+    apply in declaration order (email first, so its digits can't be
+    re-matched as phone fragments)."""
+    text_col = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}")
+        )
+        text_col = F.regexp_replace(text_col, pat, f"<{name.upper()}>")
+    out = docs.select("doc_id", *counts, F.md5(text_col).alias("scrubbed_md5"))
+    total = sum(F.col(f"n_{name}") for name, _ in PII_PATTERNS)
+    return out.withColumn("had_pii", total > 0)
+
+
 def winnow_fingerprints(docs: DataFrame, *, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every k-token gram, slide a w-window over the hash

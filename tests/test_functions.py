@@ -371,3 +371,32 @@ def test_contamination_check(spark):
     assert not got[3]["contaminated"] and got[3]["n_overlap"] == 0
     assert got[3]["contam_ratio_r"] == 0.0
     assert 0 < got[1]["contam_ratio_r"] <= 1.0
+
+
+def test_pii_scrub(spark):
+    """Emails/phones/IPs/SSNs are redacted with typed sentinels and
+    counted; clean docs pass through unchanged (md5-stable)."""
+    import hashlib
+
+    from python_rasterstats_spark.functions.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or +1-555-867-5309 today"),
+            (2, "server at 10.0.42.17 holds ssn 123-45-6789"),
+            (3, "perfectly clean prose with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["had_pii"] and got[2]["had_pii"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_ssn"] == 1
+    assert not got[3]["had_pii"]
+    clean_md5 = hashlib.md5(
+        b"perfectly clean prose with no identifiers").hexdigest()
+    assert got[3]["scrubbed_md5"] == clean_md5
+    # the scrubbed text really lost the address (md5 of expected redaction)
+    want1 = hashlib.md5(
+        b"contact <EMAIL> or <PHONE> today").hexdigest()
+    assert got[1]["scrubbed_md5"] == want1
