@@ -8,22 +8,25 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline-sequential AND progressive (SOF2) DCT,
-8-bit, grayscale and color in any sampling layout with integral
-upsample ratios — 4:4:4, 4:2:0 (the layout virtually every camera/web
-encoder emits), 4:2:2, 4:4:0, 4:1:1 (YCbCr BT.601; color decode
-returns a (3, h, w) uint8 array — the corpus's multiband convention;
-the encoders can emit all five). Progressive decode covers the full
-T.81 G feature set — spectral selection, successive approximation
-(DC + AC refinement with EOB runs), interleaved and single-component
-scans, DHT redefinition between scans — and jpeg_encode_progressive
-emits a spectral+SA scan script whose decode is coefficient-exact
-against the baseline encoding of the same image (pinned in
-test_jpeg). Baseline files may also carry one non-interleaved scan
-per component (T.81-legal; decoded via the same per-scan machinery),
-and the color convention follows the libjpeg rule: an Adobe APP14
-transform byte wins, component ids 'R','G','B' mean raw RGB planes,
-otherwise YCbCr. Arithmetic/lossless/hierarchical streams, Adobe
+Scope (documented): baseline-sequential, progressive (SOF2), AND
+sequential-arithmetic (SOF9, QM coder — qmcoder.py) DCT, 8-bit,
+grayscale and color in any sampling layout with integral upsample
+ratios — 4:4:4, 4:2:0 (the layout virtually every camera/web encoder
+emits), 4:2:2, 4:4:0, 4:1:1 (YCbCr BT.601; color decode returns a
+(3, h, w) uint8 array — the corpus's multiband convention; the
+encoders can emit all five in all three entropy modes). Progressive
+decode covers the full T.81 G feature set — spectral selection,
+successive approximation (DC + AC refinement with EOB runs),
+interleaved and single-component scans, DHT redefinition between
+scans — and jpeg_encode_progressive emits a spectral+SA scan script
+whose decode is coefficient-exact against the baseline encoding of
+the same image (pinned in test_jpeg); jpeg_encode_arithmetic's
+output is pinned the same way (and DAC conditioning is honored).
+Baseline files may also carry one non-interleaved scan per component
+(T.81-legal; decoded via the same per-scan machinery), and the color
+convention follows the libjpeg rule: an Adobe APP14 transform byte
+wins, component ids 'R','G','B' mean raw RGB planes, otherwise
+YCbCr. Lossless/hierarchical streams, progressive-arithmetic, Adobe
 YCCK, and fractional-ratio layouts (e.g. 3:2, which would need an
 interpolating upsampler) raise NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
@@ -447,22 +450,18 @@ def _emit_vli(bw_, v: int, cat: int) -> None:
         bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
 
 
-def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
-                            sampling: str = "420") -> bytes:
-    """Encode uint8 grayscale (2D) or RGB (3-band) as a PROGRESSIVE JPEG
-    (SOF2) with both spectral selection and successive approximation —
-    the scan script is DC(Al=1) → DC refine → per-component AC bands
-    (1-5, 6-63 at Al=2) → AC refine (Al=2→1) → AC refine (Al=1→0), so a
-    conforming decoder reconstructs the EXACT same coefficients as the
-    baseline encoding (test_jpeg pins that equivalence against
-    jpeg_decode). Primary role: exercising/validating the progressive
-    decode path plus compatibility output; the corpus hot path stays
-    baseline. Float tiles: use baseline jpeg_encode (APP15 sidecar)."""
+def _component_grids(arr: np.ndarray, quality: int, sampling: str):
+    """Shared encoder prep: per-component MCU-padded coefficient grids in
+    raster block order (stride mcux*sh — identical layout to the
+    decoder's grids). The FULL-RES plane is padded to the MCU extent
+    first, then block-mean subsampled (the baseline encoder's order, so
+    coefficients match it exactly). Returns
+    (h, w, samps, qtids, qts, zz, mcux, mcuy, hmax, vmax)."""
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[-1] == 3 and a.shape[0] != 3:
         a = np.transpose(a, (2, 0, 1))
     if np.issubdtype(a.dtype, np.floating):
-        raise ValueError("progressive encoder takes uint8 input")
+        raise ValueError("this encoder takes uint8 input")
     if a.ndim == 2:
         h, w = a.shape
         samps = [(1, 1)]
@@ -481,15 +480,10 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
         qts = [_quality_qt(quality), _chroma_qt(quality)]
         ycc = _rgb_to_ycbcr(a.astype(np.float64))
         planes = list(ycc)
-    ncomp = len(planes)
     hmax = max(s for s, _ in samps)
     vmax = max(s for _, s in samps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # MCU-grid-padded coefficient grids, raster block order (stride
-    # bw_c = mcux*sh) — identical layout to the decoder's grids. Pad the
-    # FULL-RES plane to the MCU extent first, then block-mean subsample
-    # (the baseline encoder's order, so coefficients match it exactly).
     zz = []
     fth, ftw = mcuy * vmax * 8, mcux * hmax * 8
     for ci, (sh, sv) in enumerate(samps):
@@ -501,6 +495,23 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
         if ry > 1 or rx > 1:
             pl = pl.reshape(fth // ry, ry, ftw // rx, rx).mean(axis=(1, 3))
         zz.append(_quantized_zigzag(pl, qts[qtids[ci]]))
+    return h, w, samps, qtids, qts, zz, mcux, mcuy, hmax, vmax
+
+
+def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
+                            sampling: str = "420") -> bytes:
+    """Encode uint8 grayscale (2D) or RGB (3-band) as a PROGRESSIVE JPEG
+    (SOF2) with both spectral selection and successive approximation —
+    the scan script is DC(Al=1) → DC refine → per-component AC bands
+    (1-5, 6-63 at Al=2) → AC refine (Al=2→1) → AC refine (Al=1→0), so a
+    conforming decoder reconstructs the EXACT same coefficients as the
+    baseline encoding (test_jpeg pins that equivalence against
+    jpeg_decode). Primary role: exercising/validating the progressive
+    decode path plus compatibility output; the corpus hot path stays
+    baseline. Float tiles: use baseline jpeg_encode (APP15 sidecar)."""
+    (h, w, samps, qtids, qts, zz, mcux, mcuy, hmax, vmax) = _component_grids(
+        arr, quality, sampling)
+    ncomp = len(samps)
 
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_bits, ac_vals = _flat_ac_bits_vals()
@@ -573,6 +584,70 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
             out += sos([ci + 1], 1, 63, ah, ah - 1,
                        _ac_refine_scan(zz[ci], dims(ci), 1, 63, ah - 1,
                                        ac_codes))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_arithmetic(arr: np.ndarray, *, quality: int = 95,
+                           sampling: str = "420") -> bytes:
+    """Encode uint8 grayscale (2D) or RGB (3-band) as a SEQUENTIAL
+    ARITHMETIC-coded JPEG (SOF9): same DCT/quantization as baseline, QM
+    entropy coding (qmcoder.py) instead of Huffman — typically 5-10%
+    smaller. Emits an explicit DAC segment with the default conditioning
+    (L=0, U=1, Kx=5). Decode is pinned coefficient-exact against the
+    Huffman baseline in test_jpeg; see qmcoder.py's docstring for the
+    validation scope (roundtrip + cross-path exactness; no
+    arithmetic-capable foreign codec exists in this environment)."""
+    from .qmcoder import ACModel, DCModel, QMEncoder
+
+    (h, w, samps, qtids, qts, zz, mcux, mcuy, hmax, vmax) = _component_grids(
+        arr, quality, sampling)
+    ncomp = len(samps)
+    enc = QMEncoder()
+    dcm, acm = DCModel(), ACModel()  # both tables id 0, shared by comps
+    preds = [0] * ncomp
+    ctxs = [0] * ncomp
+
+    def code_block(ci, bi):
+        blk = zz[ci][bi]
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        ctxs[ci] = dcm.encode(enc, diff, ctxs[ci])
+        acm.encode_block(enc, blk)
+
+    if ncomp > 1:  # interleaved MCU order
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for ci in range(ncomp):
+                sh, sv = samps[ci]
+                bw_c = mcux * sh
+                for v in range(sv):
+                    for u in range(sh):
+                        code_block(ci, (my * sv + v) * bw_c + (mx * sh + u))
+    else:  # single component: non-interleaved raster over true blocks
+        bh_s, bw_s, bw_c = _comp_block_dims((0, 0, 1, 1), mcux, w, h,
+                                            hmax, vmax)
+        for u in range(bh_s * bw_s):
+            r_, c_ = divmod(u, bw_s)
+            code_block(0, r_ * bw_c + c_)
+    entropy = enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
+    if len(qts) > 1:
+        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
+    out += _seg(0xC9, sof)  # SOF9: extended sequential, arithmetic coding
+    # DAC: DC table 0 conditioning (U<<4)|L = 0x10; AC table 0 Kx = 5
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -780,7 +855,7 @@ def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     declared sampling factors. Baseline files usually hold ONE interleaved
     scan, but one-scan-per-component files are legal and decode here too."""
     (cids, stabs, _ss, _se, _ah, _al, body, rst_marks, restart,
-     sdc, sac) = scan
+     sdc, sac) = scan[:11]
     br = _BitReader(body)
     rst_iter = iter(rst_marks)
     next_rst = next(rst_iter, None)
@@ -825,6 +900,73 @@ def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
             )
 
 
+def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
+    """Apply one sequential ARITHMETIC-coded scan (SOF9) to the
+    coefficient grids: QM decoder + the T.81 F.1.4 DC/AC statistical
+    models (qmcoder.py). Statistics areas are per referenced table id
+    (shared across components in the scan, as the spec requires); the
+    DC conditioning context and predictor are per component. An RSTn
+    boundary re-initializes the coder AND the statistics."""
+    from .qmcoder import ACModel, DCModel, QMDecoder
+
+    (cids, stabs, _ss, _se, _ah, _al, body, rst_marks, restart,
+     _sdc, _sac) = scan[:11]
+    dc_cond, ac_cond = scan[11], scan[12]
+    idxs = []
+    for cid in cids:
+        idxs.append(next(i for i, c in enumerate(comps) if c[0] == cid))
+
+    segments = [0] + list(rst_marks)  # byte offsets of coder segments
+    seg_no = 0
+
+    def fresh():
+        dms, ams = {}, {}
+        for ci in idxs:
+            dtbl, atbl = stabs[comps[ci][0]]
+            if dtbl not in dms:
+                L, U = dc_cond.get(dtbl, (0, 1))
+                dms[dtbl] = DCModel(L, U)
+            if atbl not in ams:
+                ams[atbl] = ACModel(ac_cond.get(atbl, 5))
+        return (QMDecoder(body[segments[seg_no]:]), dms, ams,
+                {ci: 0 for ci in idxs}, {ci: 0 for ci in idxs})
+
+    dec, dcms, acms, preds, ctxs = fresh()
+
+    def decode_block(ci, zz):
+        dtbl, atbl = stabs[comps[ci][0]]
+        diff, ctxs[ci] = dcms[dtbl].decode(dec, ctxs[ci])
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        acms[atbl].decode_block(dec, zz)
+
+    if len(idxs) > 1:  # interleaved MCU traversal
+        for mi in range(mcux * mcuy):
+            if restart and mi and mi % restart == 0 \
+                    and seg_no + 1 < len(segments):
+                seg_no += 1
+                dec, dcms, acms, preds, ctxs = fresh()
+            my, mx = divmod(mi, mcux)
+            for ci in idxs:
+                _, _, sh, sv = comps[ci]
+                bw_c = mcux * sh
+                for v in range(sv):
+                    for u in range(sh):
+                        bi = (my * sv + v) * bw_c + (mx * sh + u)
+                        decode_block(ci, grids[ci][bi])
+    else:
+        ci = idxs[0]
+        bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
+                                            hmax, vmax)
+        for u in range(bh_s * bw_s):
+            if restart and u and u % restart == 0 \
+                    and seg_no + 1 < len(segments):
+                seg_no += 1
+                dec, dcms, acms, preds, ctxs = fresh()
+            r_, c_ = divmod(u, bw_s)
+            decode_block(ci, grids[ci][r_ * bw_c + c_])
+
+
 def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     """Apply one progressive scan (T.81 G.2) to the coefficient grids.
 
@@ -834,7 +976,8 @@ def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     (point-transformed) values; Ah>0 scans deliver one successive-
     approximation bit per coefficient (G.1.2.3 refinement with EOB runs).
     """
-    (cids, stabs, ss, se, ah, al, body, rst_marks, restart, sdc, sac) = scan
+    (cids, stabs, ss, se, ah, al, body, rst_marks, restart,
+     sdc, sac) = scan[:11]
     br = _BitReader(body)
     rst_iter = iter(rst_marks)
     next_rst = next(rst_iter, None)
@@ -992,7 +1135,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     restart = 0
     rescale = None
     progressive = False
+    arith = False
     adobe_transform = None
+    dc_cond: dict = {}  # DAC conditioning: table id -> (L, U)
+    ac_cond: dict = {}  # DAC conditioning: table id -> Kx
     scans: list = []  # (comp ids in scan order, tabs, ss, se, ah, al,
     #                    body, rst bit marks, restart interval)
     while pos < len(data):
@@ -1023,8 +1169,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 # DQT stores the table in zigzag scan order -> natural
                 qts[tq] = tbl.astype(np.int64)[UNZIGZAG]
                 off += 65
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog.)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload)
             assert prec == 8, "only 8-bit precision supported"
             if ncomp not in (1, 3):
@@ -1052,12 +1200,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     "unsupported sampling layout (non-integral chroma "
                     "upsample ratio or blocks-per-MCU > 10)"
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential and progressive DCT JPEG are "
-                "supported (lossless/hierarchical/arithmetic are not)"
+                "only baseline-sequential, progressive, and sequential-"
+                "arithmetic DCT JPEG are supported (lossless/hierarchical/"
+                "progressive-arithmetic are not)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            off = 0
+            while off + 1 < len(payload):
+                tctb, cs = payload[off], payload[off + 1]
+                if tctb >> 4 == 0:
+                    dc_cond[tctb & 0xF] = (cs & 0xF, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tctb & 0xF] = cs  # Kx
+                off += 2
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(payload):
@@ -1085,6 +1243,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ahal = payload[3 + 2 * ns]
             # entropy data runs until the next marker that isn't
             # stuffing/RSTn; RSTn positions are recorded as bit marks
+            # (Huffman) or byte offsets (arithmetic, where raw 0xFF data
+            # bytes are legal — their follower carries a stuffed 0 MSB,
+            # so 0xFF 0x90+ is unambiguously a marker)
             body = bytearray()
             rst_bit_marks = []
             p = pos
@@ -1092,12 +1253,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 b = data[p]
                 if b == 0xFF:
                     nxt = data[p + 1]
-                    if nxt == 0x00:
-                        body.append(0xFF)
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: reset boundary
+                        rst_bit_marks.append(
+                            len(body) if arith else len(body) * 8)
                         p += 2
                         continue
-                    if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + reset
-                        rst_bit_marks.append(len(body) * 8)
+                    if arith:
+                        if nxt > 0x8F:
+                            break  # EOI or next segment
+                        body.append(b)  # data 0xFF; keep raw (bit-stuffed)
+                        p += 1
+                        continue
+                    if nxt == 0x00:
+                        body.append(0xFF)  # Huffman byte-stuffing
                         p += 2
                         continue
                     break  # EOI or next segment
@@ -1108,6 +1276,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 scan_cids, stabs, ss, se, ahal >> 4, ahal & 0xF,
                 bytes(body), rst_bit_marks, restart,
                 dict(dc_tabs), dict(ac_tabs),
+                dict(dc_cond), dict(ac_cond),
             ))
         # other APPn/COM segments: skipped
     assert scans and h is not None, "no scan found"
@@ -1122,7 +1291,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
         for c in comps
     ]
-    applier = _apply_progressive_scan if progressive else _apply_sequential_scan
+    if arith:
+        applier = _apply_arith_scan
+    elif progressive:
+        applier = _apply_progressive_scan
+    else:
+        applier = _apply_sequential_scan
     for scan in scans:
         applier(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax)
 
