@@ -227,12 +227,17 @@ def contamination_check(
 
 
 # PII patterns restricted to the regex subset Java (Spark) and RE2
-# (DuckDB) evaluate identically: no backrefs, no lookaround
+# (DuckDB) evaluate identically: no backrefs, no lookaround. Order
+# matters (each pattern runs on the previous one's output): ipv4 before
+# phone, or dotted IPs with 3-digit octets scrub as <PHONE>; the phone
+# tail is a grouped optional segment so it can't eat a bare trailing
+# separator.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone",
+     r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{1,4})?"),
 )
 
 

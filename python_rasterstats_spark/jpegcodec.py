@@ -615,21 +615,10 @@ def jpeg_encode_arithmetic(arr: np.ndarray, *, quality: int = 95,
         ctxs[ci] = dcm.encode(enc, diff, ctxs[ci])
         acm.encode_block(enc, blk)
 
-    if ncomp > 1:  # interleaved MCU order
-        for mi in range(mcux * mcuy):
-            my, mx = divmod(mi, mcux)
-            for ci in range(ncomp):
-                sh, sv = samps[ci]
-                bw_c = mcux * sh
-                for v in range(sv):
-                    for u in range(sh):
-                        code_block(ci, (my * sv + v) * bw_c + (mx * sh + u))
-    else:  # single component: non-interleaved raster over true blocks
-        bh_s, bw_s, bw_c = _comp_block_dims((0, 0, 1, 1), mcux, w, h,
-                                            hmax, vmax)
-        for u in range(bh_s * bw_s):
-            r_, c_ = divmod(u, bw_s)
-            code_block(0, r_ * bw_c + c_)
+    comps_like = [(ci + 1, 0, sh, sv) for ci, (sh, sv) in enumerate(samps)]
+    for _unit, ci, bi in _scan_block_order(list(range(ncomp)), comps_like,
+                                           mcux, mcuy, w, h, hmax, vmax):
+        code_block(ci, bi)
     entropy = enc.flush()
 
     out = bytearray(b"\xff\xd8")
@@ -816,6 +805,8 @@ def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
     ac_sym, ac_len = ac_tab
     win = br.peek16()
     cat = int(dc_sym[win])
+    if int(dc_len[win]) == 0:  # unmapped window: truncated/corrupt data
+        raise AssertionError("truncated or corrupt entropy data")
     br.skip(int(dc_len[win]))
     diff = _extend(br.take(cat), cat) if cat else 0
     pred += diff
@@ -824,6 +815,8 @@ def _decode_one_block(br, zz_row, pred, dc_tab, ac_tab):
     while k < 64:
         win = br.peek16()
         rs = int(ac_sym[win])
+        if int(ac_len[win]) == 0:
+            raise AssertionError("truncated or corrupt entropy data")
         br.skip(int(ac_len[win]))
         if rs == 0x00:  # EOB
             break
@@ -846,14 +839,37 @@ def _comp_block_dims(comp, mcux, w, h, hmax, vmax):
     return (ch + 7) // 8, (cw + 7) // 8, mcux * sh
 
 
+def _scan_block_order(idxs, comps, mcux, mcuy, w, h, hmax, vmax):
+    """Yield (unit, ci, bi) in scan order — the ONE traversal shared by
+    every sequential entropy mode. Multi-component scans interleave
+    sh×sv blocks per component in MCU order (unit = MCU index, T.81
+    A.2.3); a single-component scan is non-interleaved — one data unit
+    per true raster block (unit = block index), whatever the declared
+    sampling factors. Restart intervals count units."""
+    if len(idxs) > 1:
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for ci in idxs:
+                _, _, sh, sv = comps[ci]
+                bw_c = mcux * sh  # component blocks per row
+                for v in range(sv):
+                    for u in range(sh):
+                        yield mi, ci, (my * sv + v) * bw_c + (mx * sh + u)
+    else:
+        ci = idxs[0]
+        bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
+                                            hmax, vmax)
+        for u in range(bh_s * bw_s):
+            r_, c_ = divmod(u, bw_s)
+            yield u, ci, r_ * bw_c + c_
+
+
 def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     """Apply one baseline-sequential scan to the coefficient grids.
 
-    Multi-component scans interleave sh×sv blocks per component in MCU
-    order (T.81 A.2.3); a single-component scan is non-interleaved — one
-    data unit per true raster block of that component, whatever its
-    declared sampling factors. Baseline files usually hold ONE interleaved
-    scan, but one-scan-per-component files are legal and decode here too."""
+    Baseline files usually hold ONE interleaved scan, but
+    one-scan-per-component files are legal and decode here too
+    (traversal semantics in _scan_block_order)."""
     (cids, stabs, _ss, _se, _ah, _al, body, rst_marks, restart,
      sdc, sac) = scan[:11]
     br = _BitReader(body)
@@ -867,37 +883,18 @@ def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
         for ci in idxs
     }
     preds = {ci: 0 for ci in idxs}
-    if len(idxs) > 1:
-        for mi in range(mcux * mcuy):
-            if restart and mi and mi % restart == 0 and next_rst is not None:
-                br.pos = next_rst  # byte-aligned restart
-                next_rst = next(rst_iter, None)
-                preds = {ci: 0 for ci in idxs}
-            my, mx = divmod(mi, mcux)
-            for ci in idxs:
-                _, _, sh, sv = comps[ci]
-                bw_c = mcux * sh  # component blocks per row
-                for v in range(sv):
-                    for u in range(sh):
-                        bi = (my * sv + v) * bw_c + (mx * sh + u)
-                        preds[ci] = _decode_one_block(
-                            br, grids[ci][bi], preds[ci],
-                            ctabs[ci][0], ctabs[ci][1],
-                        )
-    else:
-        ci = idxs[0]
-        bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
-                                            hmax, vmax)
-        for u in range(bh_s * bw_s):
-            if restart and u and u % restart == 0 and next_rst is not None:
-                br.pos = next_rst
-                next_rst = next(rst_iter, None)
-                preds = {ci: 0 for ci in idxs}
-            r_, c_ = divmod(u, bw_s)
-            preds[ci] = _decode_one_block(
-                br, grids[ci][r_ * bw_c + c_], preds[ci],
-                ctabs[ci][0], ctabs[ci][1],
-            )
+    last_unit = 0
+    for unit, ci, bi in _scan_block_order(idxs, comps, mcux, mcuy, w, h,
+                                          hmax, vmax):
+        if unit != last_unit and restart and unit % restart == 0 \
+                and next_rst is not None:
+            br.pos = next_rst  # byte-aligned restart
+            next_rst = next(rst_iter, None)
+            preds = {c2: 0 for c2 in idxs}
+        last_unit = unit
+        preds[ci] = _decode_one_block(
+            br, grids[ci][bi], preds[ci], ctabs[ci][0], ctabs[ci][1],
+        )
 
 
 def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
@@ -940,31 +937,15 @@ def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
         zz[0] = preds[ci]
         acms[atbl].decode_block(dec, zz)
 
-    if len(idxs) > 1:  # interleaved MCU traversal
-        for mi in range(mcux * mcuy):
-            if restart and mi and mi % restart == 0 \
-                    and seg_no + 1 < len(segments):
-                seg_no += 1
-                dec, dcms, acms, preds, ctxs = fresh()
-            my, mx = divmod(mi, mcux)
-            for ci in idxs:
-                _, _, sh, sv = comps[ci]
-                bw_c = mcux * sh
-                for v in range(sv):
-                    for u in range(sh):
-                        bi = (my * sv + v) * bw_c + (mx * sh + u)
-                        decode_block(ci, grids[ci][bi])
-    else:
-        ci = idxs[0]
-        bh_s, bw_s, bw_c = _comp_block_dims(comps[ci], mcux, w, h,
-                                            hmax, vmax)
-        for u in range(bh_s * bw_s):
-            if restart and u and u % restart == 0 \
-                    and seg_no + 1 < len(segments):
-                seg_no += 1
-                dec, dcms, acms, preds, ctxs = fresh()
-            r_, c_ = divmod(u, bw_s)
-            decode_block(ci, grids[ci][r_ * bw_c + c_])
+    last_unit = 0
+    for unit, ci, bi in _scan_block_order(idxs, comps, mcux, mcuy, w, h,
+                                          hmax, vmax):
+        if unit != last_unit and restart and unit % restart == 0 \
+                and seg_no + 1 < len(segments):
+            seg_no += 1
+            dec, dcms, acms, preds, ctxs = fresh()
+        last_unit = unit
+        decode_block(ci, grids[ci][bi])
 
 
 def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
@@ -990,6 +971,8 @@ def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     def huff(tab):
         sym, ln = tab
         win = br.peek16()
+        if int(ln[win]) == 0:
+            raise AssertionError("truncated or corrupt entropy data")
         br.skip(int(ln[win]))
         return int(sym[win])
 
@@ -1118,12 +1101,13 @@ def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential OR progressive JPEG (any encoder):
-    grayscale returns (h, w) uint8 — or float32 when the stream carries
-    this codec's APP15 rescale sidecar; color returns (3, h, w) uint8 RGB
-    (the corpus's multiband convention) for any integral-ratio sampling
-    layout (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, ...). Arithmetic/
-    lossless/hierarchical streams and fractional-ratio layouts raise
+    """Decode a baseline-sequential, progressive, or sequential-
+    arithmetic JPEG (any encoder): grayscale returns (h, w) uint8 — or
+    float32 when the stream carries this codec's APP15 rescale sidecar;
+    color returns (3, h, w) uint8 RGB (the corpus's multiband
+    convention) for any integral-ratio sampling layout (4:4:4, 4:2:0,
+    4:2:2, 4:4:0, 4:1:1, ...). Lossless/hierarchical/progressive-
+    arithmetic streams and fractional-ratio layouts raise
     NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
@@ -1142,7 +1126,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     scans: list = []  # (comp ids in scan order, tabs, ss, se, ah, al,
     #                    body, rst bit marks, restart interval)
     while pos < len(data):
-        assert data[pos] == 0xFF, f"marker expected at {pos}"
+        if data[pos] != 0xFF:
+            # tolerate truncation after a complete scan (e.g. a stream
+            # whose trailing EOI was cut off): decode what we have
+            if scans:
+                break
+            raise AssertionError(f"marker expected at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
         # marker id — skip them (some encoders align segments this way)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
@@ -1242,10 +1231,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             # entropy data runs until the next marker that isn't
-            # stuffing/RSTn; RSTn positions are recorded as bit marks
-            # (Huffman) or byte offsets (arithmetic, where raw 0xFF data
-            # bytes are legal — their follower carries a stuffed 0 MSB,
-            # so 0xFF 0x90+ is unambiguously a marker)
+            # stuffing/RSTn; FF 00 zero-byte stuffing applies to BOTH
+            # entropy modes (T.81; jdarith's 'discard stuffed zero
+            # byte'); RSTn positions are recorded as bit marks
+            # (Huffman) or byte offsets (arithmetic)
             body = bytearray()
             rst_bit_marks = []
             p = pos
@@ -1253,23 +1242,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 b = data[p]
                 if b == 0xFF:
                     nxt = data[p + 1]
+                    if nxt == 0x00:
+                        body.append(0xFF)  # un-stuff
+                        p += 2
+                        continue
                     if 0xD0 <= nxt <= 0xD7:  # RSTn: reset boundary
                         rst_bit_marks.append(
                             len(body) if arith else len(body) * 8)
                         p += 2
                         continue
-                    if arith:
-                        if nxt > 0x8F:
-                            break  # EOI or next segment
-                        body.append(b)  # data 0xFF; keep raw (bit-stuffed)
-                        p += 1
-                        continue
-                    if nxt == 0x00:
-                        body.append(0xFF)  # Huffman byte-stuffing
-                        p += 2
-                        continue
                     break  # EOI or next segment
                 body.append(b)
+                p += 1
+            if p == len(data) - 1 and data[p] != 0xFF:
+                # truncated stream (EOI cut off): the final byte is
+                # entropy data — keep it, the scan itself is complete
+                body.append(data[p])
                 p += 1
             pos = p
             scans.append((

@@ -18,16 +18,18 @@ paths, and compression-ratio sanity on skewed sources):
   integer, so byte-carry propagation (T.81's stack-counter BYTEOUT
   machinery) never arises: carries resolve inside the integer, and the
   final code string is simply the low end's big-endian bits.
-- Bit stuffing is a separable serialization layer: after an emitted
-  0xFF byte the next byte carries only 7 payload bits with a zero MSB
-  (T.81 D.1.6), which keeps 0xFF 0x90+ unambiguous as markers; the
-  reader inverts this and feeds 1-bits past the end of data (the code
-  value stays inside the final interval because the low end was sent).
+- Serialization follows the T.81 arithmetic convention (the one
+  libjpeg's jdarith.c documents): a ZERO BYTE is stuffed after every
+  0xFF code byte (so 0xFF 0x90+ stays unambiguous as markers — the
+  caller un-stuffs FF 00 → FF exactly like the Huffman path), and the
+  decoder feeds ZERO bytes past the end of data; the code value then
+  reads back as exactly the transmitted low end, which lies inside
+  every coding interval.
 """
 
 from __future__ import annotations
 
-# Table D.3: (Qe, NMPS, NLPS, SWITCH) for the 113 adaptive states;
+# Table D.3: (Qe, NLPS, NMPS, SWITCH) for the 113 adaptive states;
 # index 113 is the non-adapting near-0.5 state (AC sign bits)
 QM_TABLE = (
     (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
@@ -70,8 +72,6 @@ QM_TABLE = (
     (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
     (0x5A1D, 113, 113, 0),  # index 113: fixed ~equiprobable, never adapts
 )
-
-# QM_TABLE tuple order: (Qe, NLPS, NMPS, SWITCH).
 
 
 class Ctx:
@@ -127,31 +127,28 @@ class QMEncoder:
         self.encode(bit, c)
 
     def flush(self) -> bytes:
-        """Emit the low end as the code string, with T.81 bit stuffing
-        (post-0xFF bytes carry 7 bits under a zero MSB)."""
+        """Emit the low end as the code string: big-endian bytes (tail
+        zero-padded — the decoder zero-feeds past the end, so the value
+        read back equals the low end exactly), with a zero byte stuffed
+        after every 0xFF (T.81 marker protection; un-stuffed by the
+        reader like the Huffman path)."""
         nbits = self.shifts + 16
-        bits = self.low
+        pad = (-nbits) % 8
+        raw = (self.low << pad).to_bytes((nbits + pad) // 8, "big")
         out = bytearray()
-        taken = 0
-        prev_ff = False
-        while taken < nbits:
-            width = 7 if prev_ff else 8
-            n = min(width, nbits - taken)
-            chunk = (bits >> (nbits - taken - n)) & ((1 << n) - 1)
-            chunk <<= width - n  # left-align partial tail (zero pad)
-            out.append(chunk)
-            taken += n
-            prev_ff = out[-1] == 0xFF
-        if out and out[-1] == 0xFF:
-            out.append(0x00)  # never end on a bare 0xFF (marker aliasing)
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
         return bytes(out)
 
 
 class QMDecoder:
-    """Windowed QM decoder (16-bit active window over the byte stream);
-    feeds 1-bits past the end of data."""
+    """Windowed QM decoder (16-bit active window over the UN-stuffed
+    byte stream — the caller removes FF 00 byte stuffing, as for
+    Huffman scans); feeds zero bytes past the end of data."""
 
-    __slots__ = ("data", "pos", "a", "c", "ct", "prev_ff")
+    __slots__ = ("data", "pos", "a", "c", "ct")
 
     def __init__(self, data: bytes):
         self.data = data
@@ -159,29 +156,15 @@ class QMDecoder:
         self.a = 0x10000
         self.c = 0
         self.ct = 0
-        self.prev_ff = False
-        # load the initial 16-bit window (a stuffed post-0xFF byte only
-        # contributes 7 bits, so count bits rather than bytes)
-        while self.ct < 16:
+        for _ in range(2):  # load the initial 16-bit window
             self._byte_in()
-        self.ct -= 16
+        self.ct = 0
 
     def _byte_in(self) -> None:
-        if self.pos < len(self.data):
-            b = self.data[self.pos]
-            self.pos += 1
-            if self.prev_ff:
-                # stuffed byte: zero MSB + 7 payload bits
-                self.c = (self.c << 7) | (b & 0x7F)
-                self.ct += 7
-                self.prev_ff = False
-            else:
-                self.c = (self.c << 8) | b
-                self.ct += 8
-                self.prev_ff = b == 0xFF
-        else:
-            self.c = (self.c << 8) | 0xFF  # feed 1-bits past the end
-            self.ct += 8
+        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        self.pos += 1
+        self.c = (self.c << 8) | b
+        self.ct += 8
 
     def decode(self, ctx: Ctx) -> int:
         qe, nlps, nmps, switch = QM_TABLE[ctx.i]

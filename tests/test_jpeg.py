@@ -605,6 +605,14 @@ def test_qm_coder_entropy_and_roundtrip():
 
     from python_rasterstats_spark.qmcoder import Ctx, QMDecoder, QMEncoder
 
+    def unstuff(data):  # FF 00 -> FF, as the jpeg scan reader does
+        out, i = bytearray(), 0
+        while i < len(data):
+            out.append(data[i])
+            i += 2 if (data[i] == 0xFF and i + 1 < len(data)
+                       and data[i + 1] == 0) else 1
+        return bytes(out)
+
     for p in (0.5, 0.9, 0.98):
         rng = random.Random(int(p * 100))
         bits = [1 if rng.random() < p else 0 for _ in range(20000)]
@@ -613,8 +621,33 @@ def test_qm_coder_entropy_and_roundtrip():
         for b in bits:
             enc.encode(b, c)
         data = enc.flush()
-        dec = QMDecoder(data)
+        dec = QMDecoder(unstuff(data))
         c2 = Ctx()
         assert [dec.decode(c2) for _ in range(len(bits))] == bits
         ent = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
         assert len(data) * 8 / len(bits) < ent + 0.12, p
+
+
+def test_truncated_baseline_still_decodes():
+    """A baseline stream whose trailing EOI was cut off (common
+    truncation) still decodes from its complete scan (r5 review fix —
+    multi-scan parsing must not turn truncation into a crash)."""
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    full = jpeg_encode(a, quality=90)
+    assert np.array_equal(jpeg_decode(full[:-2]), jpeg_decode(full))
+
+
+def test_pii_phone_ip_disambiguation(spark):
+    """r5 review fixes: dotted IPs with 3-digit octets are IPs, not
+    phones; phone redaction does not eat trailing punctuation."""
+    from python_rasterstats_spark.functions.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "server 192.168.100.200 up"), (2, "call 555-867-5309 now.")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 0
+    import hashlib
+    assert got[2]["scrubbed_md5"] == hashlib.md5(
+        b"call <PHONE> now.").hexdigest()
