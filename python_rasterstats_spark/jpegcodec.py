@@ -8,8 +8,10 @@ Huffman tables, zigzag run-length entropy coding with byte stuffing,
 8×8 DCT-II — decodable by any JPEG reader, and the decoder accepts
 baseline grayscale JPEGs produced by any encoder (DRI/RSTn supported).
 
-Scope (documented): baseline-sequential, progressive (SOF2), AND
-sequential-arithmetic (SOF9, QM coder — qmcoder.py) DCT, 8-bit,
+Scope (documented): the full practical T.81 DCT matrix —
+baseline-sequential (SOF0/1), progressive (SOF2), sequential-
+arithmetic (SOF9) and progressive-arithmetic (SOF10; QM coder —
+qmcoder.py) — 8-bit,
 grayscale and color in any sampling layout with integral upsample
 ratios — 4:4:4, 4:2:0 (the layout virtually every camera/web encoder
 emits), 4:2:2, 4:4:0, 4:1:1 (YCbCr BT.601; color decode returns a
@@ -21,13 +23,14 @@ interleaved and single-component scans, DHT redefinition between
 scans — and jpeg_encode_progressive emits a spectral+SA scan script
 whose decode is coefficient-exact against the baseline encoding of
 the same image (pinned in test_jpeg); jpeg_encode_arithmetic's
-output is pinned the same way (and DAC conditioning is honored).
+output is pinned the same way (and DAC conditioning is honored), as
+is jpeg_encode_arithmetic_progressive's (SOF10, T.81 G.1.3 models).
 Baseline files may also carry one non-interleaved scan per component
 (T.81-legal; decoded via the same per-scan machinery), and the color
 convention follows the libjpeg rule: an Adobe APP14 transform byte
 wins, component ids 'R','G','B' mean raw RGB planes, otherwise
-YCbCr. Lossless/hierarchical streams, progressive-arithmetic, Adobe
-YCCK, and fractional-ratio layouts (e.g. 3:2, which would need an
+YCbCr. Lossless/hierarchical streams, Adobe YCCK, and
+fractional-ratio layouts (e.g. 3:2, which would need an
 interpolating upsampler) raise NotImplementedError. Float
 rasters are affinely quantized to uint8 with the (lo, scale) pair
 carried in an APP15 segment (standard-legal: unknown APPn segments are
@@ -641,6 +644,80 @@ def jpeg_encode_arithmetic(arr: np.ndarray, *, quality: int = 95,
     return bytes(out)
 
 
+def jpeg_encode_arithmetic_progressive(arr: np.ndarray, *,
+                                       quality: int = 95,
+                                       sampling: str = "420") -> bytes:
+    """Encode uint8 grayscale (2D) or RGB (3-band) as a PROGRESSIVE
+    ARITHMETIC-coded JPEG (SOF10): the progressive encoder's scan script
+    (DC Al=1 → DC refine → AC bands 1-5/6-63 at Al=2 → AC refine 2→1 →
+    1→0) with QM entropy coding per T.81 G.1.3 — statistics reset at
+    every scan, as the decoder requires. Decode is pinned
+    coefficient-exact against the baseline encoding in test_jpeg."""
+    from .qmcoder import ACModel, DCModel, QMEncoder
+
+    (h, w, samps, qtids, qts, zz, mcux, mcuy, hmax, vmax) = _component_grids(
+        arr, quality, sampling)
+    ncomp = len(samps)
+    comps_like = [(ci + 1, 0, sh, sv) for ci, (sh, sv) in enumerate(samps)]
+
+    def order(cis):
+        return _scan_block_order(cis, comps_like, mcux, mcuy, w, h,
+                                 hmax, vmax)
+
+    def sos_seg(cids, ss, se, ah, al, entropy):
+        hdr = bytes([len(cids)]) + b"".join(
+            bytes([cid, 0x00]) for cid in cids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr) + entropy
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
+    if len(qts) > 1:
+        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
+    out += _seg(0xCA, sof)  # SOF10: progressive, arithmetic coding
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # default DAC
+
+    all_cids = list(range(1, ncomp + 1))
+    # DC first pass (Al=1, interleaved, point-transformed diffs)
+    enc = QMEncoder()
+    dcm = DCModel()
+    preds = [0] * ncomp
+    ctxs = [0] * ncomp
+    for _u, ci, bi in order(list(range(ncomp))):
+        v = int(zz[ci][bi][0]) >> 1
+        ctxs[ci] = dcm.encode(enc, v - preds[ci], ctxs[ci])
+        preds[ci] = v
+    out += sos_seg(all_cids, 0, 0, 0, 1, enc.flush())
+    # DC refinement (one fixed-state bit per block)
+    enc = QMEncoder()
+    for _u, ci, bi in order(list(range(ncomp))):
+        enc.encode_fixed(int(zz[ci][bi][0]) & 1)
+    out += sos_seg(all_cids, 0, 0, 1, 0, enc.flush())
+    # AC spectral bands at Al=2, per component
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            enc = QMEncoder()
+            acm = ACModel()
+            for _u, _c, bi in order([ci]):
+                acm.encode_block(enc, zz[ci][bi], ss=ss, se=se, al=2)
+            out += sos_seg([ci + 1], ss, se, 0, 2, enc.flush())
+    # AC successive-approximation refinements
+    for ah in (2, 1):
+        for ci in range(ncomp):
+            enc = QMEncoder()
+            acm = ACModel()
+            for _u, _c, bi in order([ci]):
+                acm.encode_refine(enc, zz[ci][bi], ss=1, se=63, al=ah - 1)
+            out += sos_seg([ci + 1], 1, 63, ah, ah - 1, enc.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _ac_first_scan(zzc, dims, ss, se, al, ac_codes) -> bytes:
     """Entropy data of one first-pass AC scan (T.81 G.1.2.2): values are
     point-transformed (truncate toward zero) by 2^Al; all-zero bands
@@ -948,6 +1025,64 @@ def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
         decode_block(ci, grids[ci][bi])
 
 
+def _apply_arith_prog_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
+    """Apply one PROGRESSIVE arithmetic-coded scan (SOF10, T.81 G.1.3):
+    DC first scans run the sequential DC model on point-transformed
+    diffs; DC refinement is one fixed-state bit per block; AC first
+    scans run the band-limited AC model; AC refinement uses the
+    G.1.3.3 per-position contexts with the EOBx rule."""
+    from .qmcoder import ACModel, DCModel, QMDecoder
+
+    (cids, stabs, ss, se, ah, al, body, rst_marks, restart,
+     _sdc, _sac) = scan[:11]
+    dc_cond, ac_cond = scan[11], scan[12]
+    idxs = []
+    for cid in cids:
+        idxs.append(next(i for i, c in enumerate(comps) if c[0] == cid))
+
+    segments = [0] + list(rst_marks)
+    seg_no = 0
+
+    def fresh():
+        dms, ams = {}, {}
+        for ci in idxs:
+            dtbl, atbl = stabs[comps[ci][0]]
+            if ss == 0 and ah == 0 and dtbl not in dms:
+                L, U = dc_cond.get(dtbl, (0, 1))
+                dms[dtbl] = DCModel(L, U)
+            if ss > 0 and atbl not in ams:
+                ams[atbl] = ACModel(ac_cond.get(atbl, 5))
+        return (QMDecoder(body[segments[seg_no]:]), dms, ams,
+                {ci: 0 for ci in idxs}, {ci: 0 for ci in idxs})
+
+    dec, dcms, acms, preds, ctxs = fresh()
+    p1 = 1 << al
+
+    def decode_block(ci, zz):
+        dtbl, atbl = stabs[comps[ci][0]]
+        if ss == 0:
+            if ah == 0:  # DC first: point-transformed diff coding
+                diff, ctxs[ci] = dcms[dtbl].decode(dec, ctxs[ci])
+                preds[ci] += diff
+                zz[0] = preds[ci] << al
+            elif dec.decode_fixed():  # DC refinement bit
+                zz[0] = int(zz[0]) | p1
+        elif ah == 0:
+            acms[atbl].decode_block(dec, zz, ss=ss, se=se, al=al)
+        else:
+            acms[atbl].decode_refine(dec, zz, ss=ss, se=se, al=al)
+
+    last_unit = 0
+    for unit, ci, bi in _scan_block_order(idxs, comps, mcux, mcuy, w, h,
+                                          hmax, vmax):
+        if unit != last_unit and restart and unit % restart == 0 \
+                and seg_no + 1 < len(segments):
+            seg_no += 1
+            dec, dcms, acms, preds, ctxs = fresh()
+        last_unit = unit
+        decode_block(ci, grids[ci][bi])
+
+
 def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     """Apply one progressive scan (T.81 G.2) to the coefficient grids.
 
@@ -1106,9 +1241,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     float32 when the stream carries this codec's APP15 rescale sidecar;
     color returns (3, h, w) uint8 RGB (the corpus's multiband
     convention) for any integral-ratio sampling layout (4:4:4, 4:2:0,
-    4:2:2, 4:4:0, 4:1:1, ...). Lossless/hierarchical/progressive-
-    arithmetic streams and fractional-ratio layouts raise
-    NotImplementedError."""
+    4:2:2, 4:4:0, 4:1:1, ...). Every T.81 DCT entropy/scan mode decodes
+    (SOF0/1/2/9/10); lossless/hierarchical streams and fractional-ratio
+    layouts raise NotImplementedError."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qts: dict[int, np.ndarray] = {}
@@ -1158,10 +1293,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 # DQT stores the table in zigzag scan order -> natural
                 qts[tq] = tbl.astype(np.int64)[UNZIGZAG]
                 off += 65
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # arithmetic, SOF10 progressive arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload)
             assert prec == 8, "only 8-bit precision supported"
             if ncomp not in (1, 3):
@@ -1189,12 +1325,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     "unsupported sampling layout (non-integral chroma "
                     "upsample ratio or blocks-per-MCU > 10)"
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential, progressive, and sequential-"
-                "arithmetic DCT JPEG are supported (lossless/hierarchical/"
-                "progressive-arithmetic are not)"
+                "only DCT JPEG is supported — baseline-sequential, "
+                "progressive, and arithmetic (sequential + progressive); "
+                "lossless and hierarchical frames are not"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             off = 0
@@ -1279,7 +1415,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
         for c in comps
     ]
-    if arith:
+    if arith and progressive:
+        applier = _apply_arith_prog_scan
+    elif arith:
         applier = _apply_arith_scan
     elif progressive:
         applier = _apply_progressive_scan

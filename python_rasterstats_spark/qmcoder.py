@@ -308,23 +308,31 @@ class ACModel:
         self.bins = [Ctx() for _ in range(256)]
         self.kx = kx
 
-    def encode_block(self, enc: QMEncoder, zz) -> None:
-        """zz: zigzag-order coefficients (index 0 = DC, ignored here)."""
-        eob = 0
-        for k in range(63, 0, -1):
-            if int(zz[k]):
+    def encode_block(self, enc: QMEncoder, zz, *, ss: int = 1,
+                     se: int = 63, al: int = 0) -> None:
+        """Code the band [ss, se] of one zigzag block (sequential scans
+        use the defaults; progressive AC-first scans pass their spectral
+        band and point transform — values are coded as v/2^Al truncated
+        toward zero, T.81 G.1.3.2)."""
+        def pt(v):
+            v = int(v)
+            return v >> al if v >= 0 else -((-v) >> al)
+
+        eob = ss - 1
+        for k in range(se, ss - 1, -1):
+            if pt(zz[k]):
                 eob = k
                 break
-        k = 1
+        k = ss
         while k <= eob:
             st = 3 * (k - 1)
             enc.encode(0, self.bins[st])  # not EOB
-            v = int(zz[k])
+            v = pt(zz[k])
             while v == 0:
                 enc.encode(0, self.bins[st + 1])
                 st += 3
                 k += 1
-                v = int(zz[k])
+                v = pt(zz[k])
             enc.encode(1, self.bins[st + 1])
             sign = 1 if v < 0 else 0
             enc.encode_fixed(sign)
@@ -354,19 +362,20 @@ class ACModel:
                     enc.encode(1 if sz & mm else 0, bits_ctx)
                     mm >>= 1
             k += 1
-        if eob < 63:
+        if eob < se:
             enc.encode(1, self.bins[3 * (eob + 1 - 1)])  # EOB decision
 
-    def decode_block(self, dec: QMDecoder, zz) -> None:
-        k = 1
-        while k <= 63:
+    def decode_block(self, dec: QMDecoder, zz, *, ss: int = 1,
+                     se: int = 63, al: int = 0) -> None:
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(self.bins[st]):
                 break  # EOB
             while dec.decode(self.bins[st + 1]) == 0:
                 st += 3
                 k += 1
-                assert k <= 63, "AC run past end of block"
+                assert k <= se, "AC run past end of block"
             sign = dec.decode_fixed()
             st += 2
             m = dec.decode(self.bins[st])
@@ -389,5 +398,68 @@ class ACModel:
                     v |= mm
                 mm >>= 1
             v += 1
-            zz[k] = -v if sign else v
+            zz[k] = (-v if sign else v) << al
+            k += 1
+
+    def encode_refine(self, enc: QMEncoder, zz, *, ss: int, se: int,
+                      al: int) -> None:
+        """AC successive-approximation refinement scan (T.81 G.1.3.3):
+        one correction bit (context st+2) per already-significant
+        coefficient, newly-significant coefficients via the st+1
+        decision + a fixed-state sign bit; the st EOB flag is coded only
+        past EOBx, the previous stage's end of band."""
+        def mag(v):
+            return abs(int(v)) >> al
+
+        kex = ss - 1  # EOBx: last index significant after the PREVIOUS stage
+        for k in range(se, ss - 1, -1):
+            if abs(int(zz[k])) >> (al + 1):
+                kex = k
+                break
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex:
+                rest = any(mag(zz[j]) for j in range(k, se + 1))
+                enc.encode(0 if rest else 1, self.bins[st])
+                if not rest:
+                    return
+            while True:
+                t = mag(zz[k])
+                if t > 1:  # already significant: correction bit
+                    enc.encode(t & 1, self.bins[st + 2])
+                    break
+                if t == 1:  # newly significant
+                    enc.encode(1, self.bins[st + 1])
+                    enc.encode_fixed(1 if int(zz[k]) < 0 else 0)
+                    break
+                enc.encode(0, self.bins[st + 1])
+                st += 3
+                k += 1
+            k += 1
+
+    def decode_refine(self, dec: QMDecoder, zz, *, ss: int, se: int,
+                      al: int) -> None:
+        p1, m1 = 1 << al, -(1 << al)
+        kex = ss - 1
+        for k in range(se, ss - 1, -1):
+            if int(zz[k]):
+                kex = k
+                break
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(self.bins[st]):
+                break  # EOB: rest of band unchanged
+            while True:
+                if int(zz[k]):
+                    if dec.decode(self.bins[st + 2]):
+                        zz[k] += m1 if int(zz[k]) < 0 else p1
+                    break
+                if dec.decode(self.bins[st + 1]):
+                    zz[k] = m1 if dec.decode_fixed() else p1
+                    break
+                st += 3
+                k += 1
+                assert k <= se, "AC refinement past end of band"
             k += 1

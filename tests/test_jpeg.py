@@ -81,12 +81,12 @@ def test_float_sidecar_and_odd_shapes():
         jpeg_encode(np.array([[1.0, np.nan]], dtype=np.float32))
 
 
-def test_progressive_arithmetic_and_cmyk_rejected():
+def test_lossless_and_cmyk_rejected():
     a = np.full((8, 8), 50, dtype=np.uint8)
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xCA  # flip SOF0 -> SOF10 (progressive arithmetic)
-    with pytest.raises(NotImplementedError, match="progressive-arithmetic"):
+    b[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
         jpeg_decode(bytes(b))
     b = bytearray(jpeg_encode(a))
     i = bytes(b).find(b"\xff\xc0")
@@ -651,3 +651,54 @@ def test_pii_phone_ip_disambiguation(spark):
     import hashlib
     assert got[2]["scrubbed_md5"] == hashlib.md5(
         b"call <PHONE> now.").hexdigest()
+
+
+def test_progressive_arithmetic_roundtrip_exact():
+    """r5: SOF10 — progressive scan scripts with QM entropy coding
+    (T.81 G.1.3: DC point-transformed diffs, fixed-state DC refinement
+    bits, band-limited AC model, EOBx refinement contexts). Completes
+    the T.81 DCT matrix: SOF0/1/2/9/10 all decode, and every encoder's
+    output is pinned coefficient-exact against the Huffman baseline."""
+    from python_rasterstats_spark.jpegcodec import (
+        jpeg_encode_arithmetic_progressive, jpeg_encode_color,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    g = (128 + 60 * np.sin(x / 9.0) + 30 * np.cos(y / 7.0)).clip(0, 255)
+    g = g.astype(np.uint8)
+    p = jpeg_encode_arithmetic_progressive(g, quality=90)
+    assert b"\xff\xca" in p  # SOF10
+    assert np.array_equal(jpeg_decode(p),
+                          jpeg_decode(jpeg_encode(g, quality=90)))
+
+    # sparse image: EOB/EOBx paths in every scan kind
+    s = np.full((64, 72), 100, np.uint8)
+    s[5, 9] = 250
+    s[40, 33] = 0
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_arithmetic_progressive(s, quality=85)),
+        jpeg_decode(jpeg_encode(s, quality=85)),
+    )
+
+    rgb = np.stack([g, (g * 0.7 + 40).astype(np.uint8), 255 - g])
+    for samp in ("444", "420", "411"):
+        for img in (rgb, rgb[:, :37, :45]):
+            assert np.array_equal(
+                jpeg_decode(jpeg_encode_arithmetic_progressive(
+                    img, quality=92, sampling=samp)),
+                jpeg_decode(jpeg_encode_color(img, quality=92,
+                                              sampling=samp)),
+            ), (samp, img.shape)
+
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        n = rng.integers(
+            0, 256,
+            size=(int(rng.integers(9, 60)), int(rng.integers(9, 60))),
+            dtype=np.uint8,
+        )
+        q = int(rng.integers(30, 99))
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode_arithmetic_progressive(n, quality=q)),
+            jpeg_decode(jpeg_encode(n, quality=q)),
+        ), (n.shape, q)
