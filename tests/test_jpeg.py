@@ -702,3 +702,40 @@ def test_progressive_arithmetic_roundtrip_exact():
             jpeg_decode(jpeg_encode_arithmetic_progressive(n, quality=q)),
             jpeg_decode(jpeg_encode(n, quality=q)),
         ), (n.shape, q)
+
+
+def test_arithmetic_restart_marker_decode():
+    """Arithmetic streams with DRI/RSTn (which OUR encoder never emits):
+    per T.81 a restart re-initializes the QM coder AND the statistics.
+    Build one by hand — each MCU coded by a fresh coder, stitched with
+    RSTn — and pin it to the unrestarted encoding's pixels."""
+    from python_rasterstats_spark.jpegcodec import jpeg_encode_arithmetic
+    from python_rasterstats_spark.qmcoder import ACModel, DCModel, QMEncoder
+
+    rng = np.random.default_rng(6)
+    img = (rng.normal(scale=30, size=(8, 24)) + 128).clip(0, 255)
+    img = img.astype(np.uint8)
+    plain = jpeg_encode_arithmetic(img, quality=85)
+    ref = jpeg_decode(plain)
+
+    qt = J._quality_qt(85)
+    zz = J._quantized_zigzag(img.astype(np.float64), qt)
+    segs = []
+    for blk in zz:  # one segment per block, predictors/statistics reset
+        enc = QMEncoder()
+        dcm, acm = DCModel(), ACModel()
+        dcm.encode(enc, int(blk[0]), 0)
+        acm.encode_block(enc, blk)
+        segs.append(enc.flush())
+    sos_at = plain.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", plain, sos_at + 2)
+    head = plain[:sos_at]
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
+    sos = plain[sos_at : sos_at + 2 + sos_len]
+    body = bytearray()
+    for i, s in enumerate(segs):
+        if i:
+            body += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        body += s
+    stream = head + dri + sos + bytes(body) + b"\xff\xd9"
+    assert np.array_equal(jpeg_decode(stream), ref)
