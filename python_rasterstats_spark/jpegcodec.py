@@ -453,6 +453,28 @@ def _emit_vli(bw_, v: int, cat: int) -> None:
         bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
 
 
+def _frame_headers(sof_marker, h, w, samps, qtids, qts) -> bytearray:
+    """SOI/APP0/DQT(s)/SOF — shared by every _component_grids encoder;
+    only the SOF marker byte (0xC0/0xC2/0xC9/0xCA) differs."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _JFIF_APP0)
+    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
+    if len(qts) > 1:
+        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, len(samps))
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _sos_seg(cids, ss, se, ah, al, entropy: bytes) -> bytes:
+    hdr = bytes([len(cids)]) + b"".join(
+        bytes([cid, 0x00]) for cid in cids
+    ) + bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, hdr) + entropy
+
+
 def _component_grids(arr: np.ndarray, quality: int, sampling: str):
     """Shared encoder prep: per-component MCU-padded coefficient grids in
     raster block order (stride mcux*sh — identical layout to the
@@ -524,22 +546,8 @@ def jpeg_encode_progressive(arr: np.ndarray, *, quality: int = 95,
         sh, sv = samps[ci]
         return _comp_block_dims((0, 0, sh, sv), mcux, w, h, hmax, vmax)
 
-    def sos(cids, ss, se, ah, al, entropy):
-        hdr = bytes([len(cids)]) + b"".join(
-            bytes([cid, 0x00]) for cid in cids
-        ) + bytes([ss, se, (ah << 4) | al])
-        return _seg(0xDA, hdr) + entropy
-
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, _JFIF_APP0)
-    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
-    if len(qts) > 1:
-        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samps[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
-    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    sos = _sos_seg
+    out = _frame_headers(0xC2, h, w, samps, qtids, qts)  # SOF2
     out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
 
@@ -624,22 +632,10 @@ def jpeg_encode_arithmetic(arr: np.ndarray, *, quality: int = 95,
         code_block(ci, bi)
     entropy = enc.flush()
 
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, _JFIF_APP0)
-    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
-    if len(qts) > 1:
-        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samps[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
-    out += _seg(0xC9, sof)  # SOF9: extended sequential, arithmetic coding
+    out = _frame_headers(0xC9, h, w, samps, qtids, qts)  # SOF9
     # DAC: DC table 0 conditioning (U<<4)|L = 0x10; AC table 0 Kx = 5
     out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
-    sos = bytes([ncomp]) + b"".join(
-        bytes([ci + 1, 0x00]) for ci in range(ncomp))
-    out += _seg(0xDA, sos + bytes([0, 63, 0]))
-    out += entropy
+    out += _sos_seg(list(range(1, ncomp + 1)), 0, 63, 0, 0, entropy)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -664,22 +660,8 @@ def jpeg_encode_arithmetic_progressive(arr: np.ndarray, *,
         return _scan_block_order(cis, comps_like, mcux, mcuy, w, h,
                                  hmax, vmax)
 
-    def sos_seg(cids, ss, se, ah, al, entropy):
-        hdr = bytes([len(cids)]) + b"".join(
-            bytes([cid, 0x00]) for cid in cids
-        ) + bytes([ss, se, (ah << 4) | al])
-        return _seg(0xDA, hdr) + entropy
-
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, _JFIF_APP0)
-    out += _seg(0xDB, b"\x00" + bytes(qts[0][ZIGZAG].tolist()))
-    if len(qts) > 1:
-        out += _seg(0xDB, b"\x01" + bytes(qts[1][ZIGZAG].tolist()))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samps[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, qtids[ci]])
-    out += _seg(0xCA, sof)  # SOF10: progressive, arithmetic coding
+    sos_seg = _sos_seg
+    out = _frame_headers(0xCA, h, w, samps, qtids, qts)  # SOF10
     out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # default DAC
 
     all_cids = list(range(1, ncomp + 1))
@@ -975,15 +957,20 @@ def _apply_sequential_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
 
 
 def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
-    """Apply one sequential ARITHMETIC-coded scan (SOF9) to the
-    coefficient grids: QM decoder + the T.81 F.1.4 DC/AC statistical
+    """Apply one ARITHMETIC-coded scan — sequential (SOF9: Ss=0, Se=63,
+    Ah=Al=0, so the block decodes DC then the full AC band) or
+    progressive (SOF10, T.81 G.1.3: DC first scans run the DC model on
+    point-transformed diffs, DC refinement is one fixed-state bit per
+    block, AC first scans run the band-limited AC model, AC refinement
+    uses the G.1.3.3 per-position contexts with the EOBx rule) — to the
+    coefficient grids with the QM decoder + T.81 F.1.4 statistical
     models (qmcoder.py). Statistics areas are per referenced table id
     (shared across components in the scan, as the spec requires); the
     DC conditioning context and predictor are per component. An RSTn
     boundary re-initializes the coder AND the statistics."""
     from .qmcoder import ACModel, DCModel, QMDecoder
 
-    (cids, stabs, _ss, _se, _ah, _al, body, rst_marks, restart,
+    (cids, stabs, ss, se, ah, al, body, rst_marks, restart,
      _sdc, _sac) = scan[:11]
     dc_cond, ac_cond = scan[11], scan[12]
     idxs = []
@@ -997,60 +984,10 @@ def _apply_arith_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
         dms, ams = {}, {}
         for ci in idxs:
             dtbl, atbl = stabs[comps[ci][0]]
-            if dtbl not in dms:
-                L, U = dc_cond.get(dtbl, (0, 1))
-                dms[dtbl] = DCModel(L, U)
-            if atbl not in ams:
-                ams[atbl] = ACModel(ac_cond.get(atbl, 5))
-        return (QMDecoder(body[segments[seg_no]:]), dms, ams,
-                {ci: 0 for ci in idxs}, {ci: 0 for ci in idxs})
-
-    dec, dcms, acms, preds, ctxs = fresh()
-
-    def decode_block(ci, zz):
-        dtbl, atbl = stabs[comps[ci][0]]
-        diff, ctxs[ci] = dcms[dtbl].decode(dec, ctxs[ci])
-        preds[ci] += diff
-        zz[0] = preds[ci]
-        acms[atbl].decode_block(dec, zz)
-
-    last_unit = 0
-    for unit, ci, bi in _scan_block_order(idxs, comps, mcux, mcuy, w, h,
-                                          hmax, vmax):
-        if unit != last_unit and restart and unit % restart == 0 \
-                and seg_no + 1 < len(segments):
-            seg_no += 1
-            dec, dcms, acms, preds, ctxs = fresh()
-        last_unit = unit
-        decode_block(ci, grids[ci][bi])
-
-
-def _apply_arith_prog_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
-    """Apply one PROGRESSIVE arithmetic-coded scan (SOF10, T.81 G.1.3):
-    DC first scans run the sequential DC model on point-transformed
-    diffs; DC refinement is one fixed-state bit per block; AC first
-    scans run the band-limited AC model; AC refinement uses the
-    G.1.3.3 per-position contexts with the EOBx rule."""
-    from .qmcoder import ACModel, DCModel, QMDecoder
-
-    (cids, stabs, ss, se, ah, al, body, rst_marks, restart,
-     _sdc, _sac) = scan[:11]
-    dc_cond, ac_cond = scan[11], scan[12]
-    idxs = []
-    for cid in cids:
-        idxs.append(next(i for i, c in enumerate(comps) if c[0] == cid))
-
-    segments = [0] + list(rst_marks)
-    seg_no = 0
-
-    def fresh():
-        dms, ams = {}, {}
-        for ci in idxs:
-            dtbl, atbl = stabs[comps[ci][0]]
             if ss == 0 and ah == 0 and dtbl not in dms:
                 L, U = dc_cond.get(dtbl, (0, 1))
                 dms[dtbl] = DCModel(L, U)
-            if ss > 0 and atbl not in ams:
+            if se > 0 and atbl not in ams:
                 ams[atbl] = ACModel(ac_cond.get(atbl, 5))
         return (QMDecoder(body[segments[seg_no]:]), dms, ams,
                 {ci: 0 for ci in idxs}, {ci: 0 for ci in idxs})
@@ -1061,16 +998,18 @@ def _apply_arith_prog_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
     def decode_block(ci, zz):
         dtbl, atbl = stabs[comps[ci][0]]
         if ss == 0:
-            if ah == 0:  # DC first: point-transformed diff coding
+            if ah == 0:  # DC (first pass): point-transformed diff coding
                 diff, ctxs[ci] = dcms[dtbl].decode(dec, ctxs[ci])
                 preds[ci] += diff
                 zz[0] = preds[ci] << al
             elif dec.decode_fixed():  # DC refinement bit
                 zz[0] = int(zz[0]) | p1
-        elif ah == 0:
-            acms[atbl].decode_block(dec, zz, ss=ss, se=se, al=al)
-        else:
-            acms[atbl].decode_refine(dec, zz, ss=ss, se=se, al=al)
+        if se > 0:
+            if ah == 0:
+                acms[atbl].decode_block(dec, zz, ss=max(ss, 1), se=se,
+                                        al=al)
+            else:
+                acms[atbl].decode_refine(dec, zz, ss=ss, se=se, al=al)
 
     last_unit = 0
     for unit, ci, bi in _scan_block_order(idxs, comps, mcux, mcuy, w, h,
@@ -1236,8 +1175,8 @@ def _apply_progressive_scan(scan, comps, grids, mcux, mcuy, w, h, hmax, vmax):
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential, progressive, or sequential-
-    arithmetic JPEG (any encoder): grayscale returns (h, w) uint8 — or
+    """Decode any T.81 DCT JPEG (SOF0/1/2/9/10, any encoder):
+    grayscale returns (h, w) uint8 — or
     float32 when the stream carries this codec's APP15 rescale sidecar;
     color returns (3, h, w) uint8 RGB (the corpus's multiband
     convention) for any integral-ratio sampling layout (4:4:4, 4:2:0,
@@ -1415,9 +1354,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((mcuy * c[3] * mcux * c[2], 64), dtype=np.int64)
         for c in comps
     ]
-    if arith and progressive:
-        applier = _apply_arith_prog_scan
-    elif arith:
+    if arith:
         applier = _apply_arith_scan
     elif progressive:
         applier = _apply_progressive_scan

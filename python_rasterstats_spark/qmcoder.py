@@ -412,17 +412,21 @@ class ACModel:
             return abs(int(v)) >> al
 
         kex = ss - 1  # EOBx: last index significant after the PREVIOUS stage
+        ke = ss - 1   # current-stage end of band (last |v|>>Al != 0)
         for k in range(se, ss - 1, -1):
             if abs(int(zz[k])) >> (al + 1):
                 kex = k
+                break
+        for k in range(se, ss - 1, -1):
+            if mag(zz[k]):
+                ke = k
                 break
         k = ss
         while k <= se:
             st = 3 * (k - 1)
             if k > kex:
-                rest = any(mag(zz[j]) for j in range(k, se + 1))
-                enc.encode(0 if rest else 1, self.bins[st])
-                if not rest:
+                enc.encode(0 if k <= ke else 1, self.bins[st])
+                if k > ke:
                     return
             while True:
                 t = mag(zz[k])

@@ -739,3 +739,66 @@ def test_arithmetic_restart_marker_decode():
         body += s
     stream = head + dri + sos + bytes(body) + b"\xff\xd9"
     assert np.array_equal(jpeg_decode(stream), ref)
+
+
+def test_progressive_arithmetic_restart_decode():
+    """SOF10 + DRI/RSTn: every scan of a progressive arithmetic stream
+    restarts per MCU — hand-build one (fresh coder + statistics per
+    segment in every scan) and pin it to the unrestarted pixels."""
+    from python_rasterstats_spark.jpegcodec import (
+        _seg, _sos_seg, jpeg_encode_arithmetic_progressive,
+    )
+    from python_rasterstats_spark.qmcoder import ACModel, DCModel, QMEncoder
+
+    rng = np.random.default_rng(8)
+    img = (rng.normal(scale=25, size=(8, 24)) + 128).clip(0, 255)
+    img = img.astype(np.uint8)
+    plain = jpeg_encode_arithmetic_progressive(img, quality=88)
+    ref = jpeg_decode(plain)
+
+    qt = J._quality_qt(88)
+    zz = J._quantized_zigzag(img.astype(np.float64), qt)
+
+    def stitched(code_one):
+        body = bytearray()
+        for i, blk in enumerate(zz):
+            if i:
+                body += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            body += code_one(blk)
+        return bytes(body)
+
+    def dc_first(blk):
+        enc = QMEncoder()
+        DCModel().encode(enc, int(blk[0]) >> 1, 0)
+        return enc.flush()
+
+    def dc_refine(blk):
+        enc = QMEncoder()
+        enc.encode_fixed(int(blk[0]) & 1)
+        return enc.flush()
+
+    def ac_first(ss, se):
+        def f(blk):
+            enc = QMEncoder()
+            ACModel().encode_block(enc, blk, ss=ss, se=se, al=2)
+            return enc.flush()
+        return f
+
+    def ac_refine(al):
+        def f(blk):
+            enc = QMEncoder()
+            ACModel().encode_refine(enc, blk, ss=1, se=63, al=al)
+            return enc.flush()
+        return f
+
+    head = plain[: plain.find(b"\xff\xcc") + 2 + 6]  # through the DAC
+    out = bytearray(head)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: restart every MCU
+    out += _sos_seg([1], 0, 0, 0, 1, stitched(dc_first))
+    out += _sos_seg([1], 0, 0, 1, 0, stitched(dc_refine))
+    out += _sos_seg([1], 1, 5, 0, 2, stitched(ac_first(1, 5)))
+    out += _sos_seg([1], 6, 63, 0, 2, stitched(ac_first(6, 63)))
+    out += _sos_seg([1], 1, 63, 2, 1, stitched(ac_refine(1)))
+    out += _sos_seg([1], 1, 63, 1, 0, stitched(ac_refine(0)))
+    out += b"\xff\xd9"
+    assert np.array_equal(jpeg_decode(bytes(out)), ref)
