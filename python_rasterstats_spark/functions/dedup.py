@@ -39,15 +39,33 @@ def dedup_keep(docs: DataFrame) -> DataFrame:
     return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
 
 
-def _shingles(n: int = 3):
-    """Distinct n-token shingles of the text column (JVM higher-order fns)."""
-    toks = F.split(F.trim(F.col("text")), " ")
+def _shingles(n: int = 3, toks=None):
+    """Distinct n-token shingles (JVM higher-order fns). ``toks`` should be
+    an already-projected token-array COLUMN: referencing the split
+    expression directly inlines it into the transform lambda, so the text
+    is re-split once per shingle — O(tokens²) per document (measured 1.5 s
+    of the sf0.1 minhash stage). With an attribute it is split once per
+    row, and element_at replaces slice+copy. Same shingle strings either
+    way (concat_ws over the 3 consecutive tokens)."""
+    toks = F.split(F.trim(F.col("text")), " ") if toks is None else toks
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+            ),
         )
     )
+
+
+def _shingled(docs: DataFrame, n: int, *extra_cols):
+    """(doc_id[, extra...], shingles) for docs with ≥n tokens — tokens
+    split ONCE per row via a projected column (see _shingles)."""
+    base = docs.select(
+        "doc_id", *extra_cols, F.split(F.trim(F.col("text")), " ").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    keep = [c for c in base.columns if c != "_toks"]
+    return base.select(*keep, _shingles(n, F.col("_toks")).alias("shingles"))
 
 
 def ngram_jaccard_candidates(
@@ -67,14 +85,9 @@ def ngram_jaccard_candidates(
     typically zero — this kills the r2 hot-shingle quadratic blowup
     without changing the >=threshold output.
     """
-    toks = F.split(F.trim(F.col("text")), " ")
-    sh = (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.col(block).alias("block"), _shingles(n).alias("shingles"))
-        .select(
-            "doc_id", "block", F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle"),
-        )
+    sh = _shingled(docs, n, F.col(block).alias("block")).select(
+        "doc_id", "block", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
     dfreq = sh.groupBy("block", "shingle").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, ["block", "shingle"]).withColumn(
@@ -129,10 +142,7 @@ def ngram_jaccard_pairs(
     cands = ngram_jaccard_candidates(
         docs, n=n, threshold=threshold, block=block
     )
-    toks = F.split(F.trim(F.col("text")), " ")
-    sets = docs.filter(F.size(toks) >= n).select(
-        "doc_id", _shingles(n).alias("sh")
-    )
+    sets = _shingled(docs, n).select("doc_id", F.col("shingles").alias("sh"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -148,11 +158,7 @@ def ngram_jaccard_pairs(
 def _minhash_agg(docs: DataFrame, *, n: int = 3, k: int = 32) -> DataFrame:
     """Signatures for shingle-able docs only (internal: feeds the LSH path
     without the row-per-doc reinstatement join)."""
-    toks = F.split(F.trim(F.col("text")), " ")
-    sh = (
-        docs.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(_shingles(n)).alias("sh"))
-    )
+    sh = _shingled(docs, n).select("doc_id", F.explode("shingles").alias("sh"))
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(k)]
     return (
         sh.groupBy("doc_id")
@@ -247,7 +253,19 @@ def minhash_lsh_candidates(
     banded = _cap_buckets(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(k))
+    # est_jaccard is computed BEFORE the pair dedup: it is identical for
+    # every (band) copy of a pair, so first() under dropDuplicates is
+    # unchanged — but the dedup aggregation then carries one double per
+    # row instead of two k-long signature arrays (array-typed first()
+    # forces a Sort + SortAggregate; a double hash-aggregates), and the
+    # arrays never cross the dedup exchange (guide: shuffle fewer bytes)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -260,15 +278,9 @@ def minhash_lsh_candidates(
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(k))
-    return cands.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
 
 
 def embedding_neardup(
@@ -287,11 +299,19 @@ def embedding_neardup(
     bucket-local."""
     from .similarity import _dot, _norm
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    # norms projected per side = evaluated once per row, not once per pair
+    # (same fold and operand order — bit-identical; see cosine_neighbors)
+    a = emb.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
     if query_max_id is not None:
         a = a.filter(F.col("vec_a") < query_max_id)
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         F.broadcast(a)
         .join(b, F.col("vec_a") < F.col("vec_b"))

@@ -187,14 +187,23 @@ def contamination_check(
     is the training gram vocabulary, not the corpus — broadcastable when
     small, a plain hash join otherwise. Default split: even doc_id =
     train, odd = test. One row per test doc with overlap tallies."""
-    toks = _toks()
+    # tokens are projected to a column first: a lambda referencing the
+    # split EXPRESSION re-splits the text once per gram (O(tokens²) per
+    # doc); referencing the attribute splits once per row. element_at
+    # replaces slice+copy. Same gram strings, same md5s.
+    tokd = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    tk = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(tk, i + F.lit(j + 1)) for j in range(n)]
+            )
+        ),
     )
-    base = docs.filter(F.size(toks) >= n).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
-    )
+    base = tokd.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     if train_pred is None:
         train_pred = F.pmod(F.col("doc_id"), F.lit(2)) == 0
     if test_pred is None:
@@ -269,17 +278,25 @@ def winnow_fingerprints(docs: DataFrame, *, k: int = 5, w: int = 4) -> DataFrame
     set whose size is ~2/(w+1) of the grams. Hashes are md5 hex strings so
     the lexicographic window-min is engine-portable (DuckDB twin in
     oracle_sql). One row per (doc_id, fp)."""
-    toks = _toks()
+    # staged projections: with the k-gram hash array inlined as an
+    # EXPRESSION, the window-min lambda re-evaluates every md5 once per
+    # window position (O(tokens × w) md5s per doc, on top of the per-gram
+    # re-split) — projecting tokens then hashes as attributes makes each
+    # md5 computed exactly once per row. Identical fingerprint strings.
+    tokd = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("_toks")
+    ).filter(F.size("_toks") >= k + w - 1)
+    tk = F.col("_toks")
     kgrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        F.sequence(F.lit(0), F.size(tk) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + F.lit(j + 1)) for j in range(k)]
+        ),
     )
-    hashes = F.transform(kgrams, F.md5)
+    hashed = tokd.select("doc_id", F.transform(kgrams, F.md5).alias("_hashes"))
+    hs = F.col("_hashes")
     mins = F.transform(
-        F.sequence(F.lit(0), F.size(hashes) - w),
-        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+        F.sequence(F.lit(0), F.size(hs) - w),
+        lambda i: F.array_min(F.slice(hs, i + 1, w)),
     )
-    return (
-        docs.filter(F.size(toks) >= k + w - 1)
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-    )
+    return hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))

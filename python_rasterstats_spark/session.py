@@ -23,6 +23,29 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # join strategy (guide §3.1): let the planner pick shuffled-hash
+        # over sort-merge when a side fits per-partition memory — no sort
+        # of the payload-bearing tile side in the SMJ regime; AQE converts
+        # at runtime too when post-shuffle partitions are ≤ the threshold
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` below every explode; predicate pushdown then
+        # INLINES the generator's full expression into that filter, so
+        # array-building expressions (shingles, k-gram hashes, band
+        # structs) are evaluated twice per row — once in the pushed filter
+        # with projected columns substituted away, once in the projection.
+        # The engine's explodes are all over arrays the query has already
+        # guaranteed non-empty (explode drops empties anyway), so the
+        # inferred filter never prunes a row here — pure duplicated work
+        # (measured 2× on the minhash shingle stage).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # tile payloads are ~64-256 KB/row; bound Arrow batch memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
