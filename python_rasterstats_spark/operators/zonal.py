@@ -837,6 +837,135 @@ def _cell_block(m, tile_row, tile_col, decoded, region, fill):
     return K.boundless_array(decoded, rel, fill)
 
 
+def _pair_processor(
+    meta: dict,
+    *,
+    all_touched: bool,
+    nodata_override,
+    want_counts: bool,
+    zone_func,
+    band: int,
+    sketch_px,
+    compact_vc: bool,
+    bands,
+    geoms,
+    user_partials: dict,
+):
+    """Per-(zone, tile) refine body shared by BOTH kernel drivers (the
+    joined-rows kernel and the tile-scan kernel): decode-aware, same
+    masks/partials either way. Returns (process, geom_cache) where
+    ``process(rows, zid, ds, tc, tr, payload, fmt, wkb, decoded)`` appends
+    partial rows and returns the decoded tile array for reuse across the
+    zones of one tile."""
+    geom_cache = K.LRU(1024)
+
+    def process(rows, zid, ds, tc, tr, payload, fmt, wkb=None, decoded=None):
+        m = meta[ds]
+        aff = m["affine"]
+        key = (zid, ds)
+        cached = geom_cache.get(key)
+        if cached is None:
+            if wkb is None:
+                wkb = geoms.value[key]
+            geom = _effective_geom(wkb, aff)
+            pgeom = K.geom_to_pixel(geom, aff)
+            win = K.bounds_window(G.geom_bounds(geom), aff)
+            cached = (pgeom, win)
+            geom_cache.put(key, cached)
+        pgeom, win = cached
+        (wr0, wr1), (wc0, wc1) = win
+        # region = zone window ∩ this cell's nominal extent
+        rr0 = max(wr0, tr * m["tile_h"])
+        rr1 = min(wr1, (tr + 1) * m["tile_h"])
+        cc0 = max(wc0, tc * m["tile_w"])
+        cc1 = min(wc1, (tc + 1) * m["tile_w"])
+        if rr0 >= rr1 or cc0 >= cc1:
+            return decoded
+        region = ((rr0, rr1), (cc0, cc1))
+        rv = K.rasterize_pixgeom(pgeom, region, all_touched=all_touched)
+        if not rv.any():
+            return decoded
+        if decoded is None and payload is not None:
+            # native dtype end-to-end; stats accumulate in f64
+            decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
+            if decoded.ndim == 3 and bands is None:
+                decoded = decoded[band - 1]  # band select (S6)
+        nd = nodata_override if nodata_override is not None else m["nodata"]
+        nd = -999.0 if nd is None else nd  # io.py:331-340 default
+        # int64-sum hint from the DATASET dtype: boundless pads may
+        # promote a block to float64 (kernel.fill_dtype) but the
+        # raster stays integer-semantics (kernel.partial_stats)
+        int_sum = (
+            bool(np.issubdtype(np.dtype(m["dtype"]), np.integer))
+            if m.get("dtype") else None
+        )
+        if bands is not None:
+            # one decode + one rasterize per pair, stats per band
+            for bno in bands:
+                db = None
+                if decoded is not None:
+                    db = decoded[bno - 1] if decoded.ndim == 3 else decoded
+                block_b = _cell_block(m, tr, tc, db, region, nd)
+                p = K.partial_stats(block_b, rv, nd, want_counts,
+                                    sketch_px=sketch_px,
+                                    int_sum=int_sum)
+                if (p["count"] == 0 and p["nodata_count"] == 0
+                        and p["nan_count"] == 0):
+                    continue
+                rows["zone_id"].append(zid)
+                rows["band"].append(bno)
+                _append_partial(rows, p, compact_vc)
+            return decoded
+        block = _cell_block(m, tr, tc, decoded, region, nd)
+        if zone_func is not None and block is decoded:
+            block = block.copy()  # user fn may mutate in place
+        if zone_func is not None:
+            # elementwise pre-transform (main.py:217-228); the masked
+            # array the user fn sees is this partial's block
+            is_float = np.issubdtype(block.dtype, np.floating)
+            isnan = np.isnan(block) if is_float else np.zeros(block.shape, bool)
+            masked = np.ma.MaskedArray(
+                block, mask=((block == nd) | isnan | ~rv)
+            )
+            ret = zone_func(masked)
+            if ret is not None:
+                masked = ret
+            tblock = np.ma.filled(masked.astype(np.float64), np.nan)
+            cover2 = ~np.ma.getmaskarray(masked)
+            p = K.partial_stats(
+                tblock, cover2, None, want_counts, sketch_px=sketch_px
+            )
+            p["nodata_count"] = int(((block == nd) & rv).sum())
+            p["nan_count"] = int((isnan & rv).sum())
+        else:
+            p = K.partial_stats(block, rv, nd, want_counts,
+                                sketch_px=sketch_px, int_sum=int_sum)
+        if (
+            p["count"] == 0
+            and p["nodata_count"] == 0
+            and p["nan_count"] == 0
+        ):
+            return decoded
+        rows["zone_id"].append(zid)
+        _append_partial(rows, p, compact_vc)
+        if user_partials:
+            if zone_func is None:
+                is_f = np.issubdtype(block.dtype, np.floating)
+                bnan = (np.isnan(block) if is_f
+                        else np.zeros(block.shape, bool))
+                masked = np.ma.MaskedArray(
+                    block, mask=((block == nd) | bnan | ~rv)
+                )
+            # (zone_func branch: `masked` is the post-transform
+            # array, matching reference add_stats-after-zone_func)
+            for uname, pfn in user_partials.items():
+                st = np.asarray(pfn(masked), dtype=np.float64).ravel()
+                rows[f"u_{uname}"].append(st.tolist())
+        return decoded
+
+    return process
+
+
 def partial_kernel(
     joined: DataFrame,
     meta: dict,
@@ -884,7 +1013,12 @@ def partial_kernel(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geom_cache = K.LRU(1024)
+        process = _pair_processor(
+            meta, all_touched=all_touched, nodata_override=nodata_override,
+            want_counts=want_counts, zone_func=zone_func, band=band,
+            sketch_px=sketch_px, compact_vc=compact_vc, bands=bands,
+            geoms=geoms, user_partials=user_partials,
+        )
         tile_cache = K.LRU(64)
         for pdf in batches:
             rows = {name: [] for name in schema.fieldNames()}
@@ -896,122 +1030,134 @@ def partial_kernel(
                 pdf["zone_id"], pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
                 pdf["bytes"], pdf["fmt"],
             )):
-                m = meta[ds]
-                aff = m["affine"]
-                key = (zid, ds)
-                cached = geom_cache.get(key)
-                if cached is None:
-                    if wkbs is None:
-                        wkb = geoms.value[key]
-                    else:
-                        wkb = wkbs.iloc[i]
-                        if wkb is None:
-                            # hybrid regime: a large-WKB zone's cells carry
-                            # NULL; its geometry ships once per executor
-                            wkb = geoms.value[key]
-                    geom = _effective_geom(wkb, aff)
-                    pgeom = K.geom_to_pixel(geom, aff)
-                    win = K.bounds_window(G.geom_bounds(geom), aff)
-                    cached = (pgeom, win)
-                    geom_cache.put(key, cached)
-                pgeom, win = cached
-                (wr0, wr1), (wc0, wc1) = win
-                # region = zone window ∩ this cell's nominal extent
-                rr0 = max(wr0, tr * m["tile_h"])
-                rr1 = min(wr1, (tr + 1) * m["tile_h"])
-                cc0 = max(wc0, tc * m["tile_w"])
-                cc1 = min(wc1, (tc + 1) * m["tile_w"])
-                if rr0 >= rr1 or cc0 >= cc1:
-                    continue
-                region = ((rr0, rr1), (cc0, cc1))
-                rv = K.rasterize_pixgeom(pgeom, region, all_touched=all_touched)
-                if not rv.any():
-                    continue
+                wkb = None
+                if wkbs is not None:
+                    wkb = wkbs.iloc[i]
+                    # hybrid regime: a large-WKB zone's cells carry NULL;
+                    # its geometry ships once per executor (process falls
+                    # back to the broadcast dict)
                 decoded = None
+                tkey = None
                 if payload is not None:
                     tkey = (ds, tc, tr)
                     decoded = tile_cache.get(tkey)
-                    if decoded is None:
-                        # native dtype end-to-end; stats accumulate in f64
-                        decoded = np.asarray(C.decode_tile(bytes(payload), fmt))
-                        if decoded.ndim == 3 and bands is None:
-                            decoded = decoded[band - 1]  # band select (S6)
-                        tile_cache.put(tkey, decoded)
-                nd = nodata_override if nodata_override is not None else m["nodata"]
-                nd = -999.0 if nd is None else nd  # io.py:331-340 default
-                # int64-sum hint from the DATASET dtype: boundless pads may
-                # promote a block to float64 (kernel.fill_dtype) but the
-                # raster stays integer-semantics (kernel.partial_stats)
-                int_sum = (
-                    bool(np.issubdtype(np.dtype(m["dtype"]), np.integer))
-                    if m.get("dtype") else None
+                decoded = process(
+                    rows, zid, ds, tc, tr, payload, fmt, wkb=wkb,
+                    decoded=decoded,
                 )
-                if bands is not None:
-                    # one decode + one rasterize per pair, stats per band
-                    for bno in bands:
-                        db = None
-                        if decoded is not None:
-                            db = decoded[bno - 1] if decoded.ndim == 3 else decoded
-                        block_b = _cell_block(m, tr, tc, db, region, nd)
-                        p = K.partial_stats(block_b, rv, nd, want_counts,
-                                            sketch_px=sketch_px,
-                                            int_sum=int_sum)
-                        if (p["count"] == 0 and p["nodata_count"] == 0
-                                and p["nan_count"] == 0):
-                            continue
-                        rows["zone_id"].append(zid)
-                        rows["band"].append(bno)
-                        _append_partial(rows, p, compact_vc)
-                    continue
-                block = _cell_block(m, tr, tc, decoded, region, nd)
-                if zone_func is not None and block is decoded:
-                    block = block.copy()  # user fn may mutate in place
-                if zone_func is not None:
-                    # elementwise pre-transform (main.py:217-228); the masked
-                    # array the user fn sees is this partial's block
-                    is_float = np.issubdtype(block.dtype, np.floating)
-                    isnan = np.isnan(block) if is_float else np.zeros(block.shape, bool)
-                    masked = np.ma.MaskedArray(
-                        block, mask=((block == nd) | isnan | ~rv)
-                    )
-                    ret = zone_func(masked)
-                    if ret is not None:
-                        masked = ret
-                    tblock = np.ma.filled(masked.astype(np.float64), np.nan)
-                    cover2 = ~np.ma.getmaskarray(masked)
-                    p = K.partial_stats(
-                        tblock, cover2, None, want_counts, sketch_px=sketch_px
-                    )
-                    p["nodata_count"] = int(((block == nd) & rv).sum())
-                    p["nan_count"] = int((isnan & rv).sum())
-                else:
-                    p = K.partial_stats(block, rv, nd, want_counts,
-                                        sketch_px=sketch_px, int_sum=int_sum)
-                if (
-                    p["count"] == 0
-                    and p["nodata_count"] == 0
-                    and p["nan_count"] == 0
-                ):
-                    continue
-                rows["zone_id"].append(zid)
-                _append_partial(rows, p, compact_vc)
-                if user_partials:
-                    if zone_func is None:
-                        is_f = np.issubdtype(block.dtype, np.floating)
-                        bnan = (np.isnan(block) if is_f
-                                else np.zeros(block.shape, bool))
-                        masked = np.ma.MaskedArray(
-                            block, mask=((block == nd) | bnan | ~rv)
-                        )
-                    # (zone_func branch: `masked` is the post-transform
-                    # array, matching reference add_stats-after-zone_func)
-                    for uname, pfn in user_partials.items():
-                        st = np.asarray(pfn(masked), dtype=np.float64).ravel()
-                        rows[f"u_{uname}"].append(st.tolist())
+                if decoded is not None and tkey is not None:
+                    tile_cache.put(tkey, decoded)
             if rows["zone_id"]:
                 yield pd.DataFrame(rows)
 
     return joined.mapInPandas(gen, schema)
+
+
+def broadcast_cover_cells(
+    zones_spark,
+    geoms: dict,
+    meta: dict,
+    *,
+    max_cells_per_zone: int,
+    raise_beyond_extent: bool,
+):
+    """Driver-side twin of zone_cover_cells for the broadcast regime: the
+    zone dim is ALREADY collected (broadcast_zone_geoms), so the covering
+    tile keys can be derived on the driver and shipped as one broadcast
+    dict ``{(dataset, tile_col, tile_row): [zone_id, ...]}`` — the same
+    information the broadcast hash relation of the cells⋈tiles join held,
+    at the same memory class, but without the cells mapInPandas stage, the
+    broadcast-exchange build job, or — the big one — the tile payload
+    crossing Arrow once per covering ZONE instead of once per tile
+    (measured 3.7× duplication on the bench corpus).
+
+    Returns the Broadcast, or None when any zone would hit an error path
+    (unknown dataset, beyond-extent with boundless=False, cover-cell cap):
+    the caller then falls back to the executor-side generator so those
+    errors keep surfacing lazily at action time, exactly as before."""
+    cover: dict = {}
+    for (zid, ds), wkb in geoms.items():
+        m = meta.get(ds)
+        if m is None:
+            return None
+        aff = m["affine"]
+        geom = _effective_geom(wkb, aff)
+        if raise_beyond_extent and K.beyond_extent(
+            K.bounds_window(G.geom_bounds(geom), aff),
+            (m["height"], m["width"]),
+        ):
+            return None
+        tr0, tr1, tc0, tc1, ncells = _zone_tile_window(geom, m, True)
+        if ncells <= 0:
+            continue
+        if ncells > max_cells_per_zone:
+            return None
+        for tr in range(tr0, tr1 + 1):
+            for tc in range(tc0, tc1 + 1):
+                cover.setdefault((ds, tc, tr), []).append(zid)
+    return zones_spark.sparkContext.broadcast(cover)
+
+
+def partial_kernel_tiles(
+    tiles: DataFrame,
+    meta: dict,
+    cover,
+    *,
+    all_touched: bool,
+    nodata_override,
+    want_counts: bool,
+    zone_func=None,
+    band: int = 1,
+    sketch_px: int | None = None,
+    compact_vc: bool = False,
+    bands: list | None = None,
+    geoms=None,
+    user_partials: dict | None = None,
+) -> DataFrame:
+    """The broadcast-regime kernel driven directly off the (pruned) tile
+    scan: for each stored tile, look up its covering zones in the
+    broadcast ``cover`` dict and emit the same partial rows the joined
+    kernel would — zero joins, one Python stage, each payload decoded and
+    Arrow-shipped exactly ONCE however many zones cover it. Downstream
+    (zone-keyed merge, join-back) is unchanged, so results are identical
+    up to partial-row order, which the merges don't observe."""
+    if bands is not None and zone_func is not None:
+        raise ValueError("bands and zone_func cannot be combined")
+    user_partials = user_partials or {}
+    if bands is not None and user_partials:
+        raise ValueError("bands and user add_stats cannot be combined")
+    schema = _partial_schema(
+        compact_vc, with_band=bands is not None, user_cols=tuple(user_partials)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        process = _pair_processor(
+            meta, all_touched=all_touched, nodata_override=nodata_override,
+            want_counts=want_counts, zone_func=zone_func, band=band,
+            sketch_px=sketch_px, compact_vc=compact_vc, bands=bands,
+            geoms=geoms, user_partials=user_partials,
+        )
+        cov = cover.value
+        for pdf in batches:
+            rows = {name: [] for name in schema.fieldNames()}
+            for ds, tc, tr, payload, fmt in zip(
+                pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
+                pdf["bytes"], pdf["fmt"],
+            ):
+                zids = cov.get((ds, tc, tr))
+                if not zids:
+                    continue  # scan false positive: covers no zone
+                decoded = None
+                for zid in zids:
+                    decoded = process(
+                        rows, zid, ds, tc, tr, payload, fmt, decoded=decoded
+                    )
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
+
+    return tiles.select(
+        "dataset", "tile_col", "tile_row", "bytes", "fmt"
+    ).mapInPandas(gen, schema)
 
 
 def _append_partial(rows: dict, p: dict, compact_vc: bool) -> None:
@@ -1192,6 +1338,19 @@ def exploded_holistic(
     return rows.groupBy(*keys).applyInPandas(fin, schema)
 
 
+def _merge_vc_arrays(vlist, clist):
+    """_merge_vc over parallel sequences of per-partial (vals, cnts)."""
+    pairs = [_row_vc(v, c) for v, c in zip(vlist, clist)]
+    vals = np.concatenate([p[0] for p in pairs] or [np.empty(0)])
+    cnts = np.concatenate(
+        [p[1] for p in pairs] or [np.empty(0, dtype=np.int64)]
+    )
+    u, inv = np.unique(vals, return_inverse=True)
+    merged = np.zeros(len(u), dtype=np.int64)
+    np.add.at(merged, inv, cnts)
+    return u, merged
+
+
 def merged_stats(
     partials: DataFrame,
     pctiles: list[str],
@@ -1201,6 +1360,7 @@ def merged_stats(
     recompress_px: int | None = None,
     keys: tuple = ("zone_id",),
     user_merges: dict | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Scalar AND holistic merges in ONE zone-keyed applyInPandas (A1-A15).
     ``keys`` extends the grouping (e.g. ("zone_id", "band") for the
@@ -1225,6 +1385,16 @@ def merged_stats(
     for continuous rasters whose value domain has no duplicates to collapse
     — kernel.sketch_weighted keeps count/min/max exact, quantile rank error
     ≤ n/recompress_px).
+
+    ``vectorized=True`` (the broadcast regime) runs the FINAL merge as one
+    hash-repartition + mapInPandas over whole partitions instead of
+    per-group applyInPandas: scalar folds become ONE pandas groupby
+    aggregation (C speed) across every zone in the partition, and Python
+    touches each group only for the holistic array merge — measured ~0.5 s
+    of pure per-group DataFrame overhead on the 2008-zone bench corpus.
+    Identical per-zone math. The SMJ regime keeps applyInPandas because
+    its output partitioning (hash on the group keys) feeds the join-back
+    without a new exchange, which matters at 10⁹ zones.
     """
     with_band = "band" in keys
     user_merges = user_merges or {}
@@ -1295,7 +1465,79 @@ def merged_stats(
                 ),
             )
         )
-    return partials.groupBy(*keys).applyInPandas(finalize, schema)
+    if not vectorized:
+        return partials.groupBy(*keys).applyInPandas(finalize, schema)
+
+    key_list = list(keys)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        big = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        gb = big.groupby(key_list, sort=False, dropna=False)
+        scal = gb.agg(
+            count=("count", "sum"),
+            fsum=("sum", "sum"),
+            sumsq=("sumsq", "sum"),
+            mn=("min", "min"),
+            mx=("max", "max"),
+            nodata_count=("nodata_count", "sum"),
+            nan_count=("nan_count", "sum"),
+        )
+        # min_count=1 → NaN when every partial's sum_i is null (float
+        # raster), matching _merge_scalars' dropna/notna contract
+        sum_i = gb["sum_i"].sum(min_count=1)
+        vvals = big["vc_vals"].to_numpy(dtype=object)
+        vcnts = big["vc_cnts"].to_numpy(dtype=object)
+        ucols = {u: big[f"u_{u}"].to_numpy(dtype=object) for u in user_merges}
+        out: dict = {name: [] for name in schema.fieldNames()}
+        for gkey, idx in gb.indices.items():
+            kt = gkey if isinstance(gkey, tuple) else (gkey,)
+            for kname, kval in zip(keys, kt):
+                out[kname].append(kval)
+            srow = scal.loc[gkey]
+            out["count"].append(int(srow["count"]))
+            out["sum"].append(float(srow["fsum"]))
+            si = sum_i.loc[gkey]
+            out["sum_i"].append(None if pd.isna(si) else int(si))
+            out["sumsq"].append(float(srow["sumsq"]))
+            mn, mx = srow["mn"], srow["mx"]
+            out["min"].append(None if pd.isna(mn) else float(mn))
+            out["max"].append(None if pd.isna(mx) else float(mx))
+            out["nodata_count"].append(int(srow["nodata_count"]))
+            out["nan_count"].append(int(srow["nan_count"]))
+            for uname, (mfn, ffn) in user_merges.items():
+                states = np.asarray(
+                    [np.asarray(s, dtype=np.float64) for s in ucols[uname][idx]]
+                )
+                merged = np.asarray(mfn(states), dtype=np.float64).ravel()
+                v = ffn(merged)
+                out[f"u_{uname}"].append(None if v is None else float(v))
+            vals, cnts = _merge_vc_arrays(vvals[idx], vcnts[idx])
+            if vals.size == 0:
+                for name in ("median", "majority", "minority", "unique"):
+                    out[name].append(None)
+                for p in pctiles:
+                    out[p].append(None)
+                if want_vc:
+                    out["value_counts"].append(None)
+            else:
+                out["median"].append(K.weighted_percentile(vals, cnts, 50.0))
+                out["majority"].append(float(vals[int(np.argmax(cnts))]))
+                out["minority"].append(float(vals[int(np.argmin(cnts))]))
+                out["unique"].append(int(vals.size))
+                for p, q in zip(pctiles, qs):
+                    out[p].append(K.weighted_percentile(vals, cnts, q))
+                if want_vc:
+                    out["value_counts"].append(
+                        dict(zip(vals.tolist(), cnts.tolist()))
+                    )
+        yield pd.DataFrame(out)
+
+    return partials.repartition(*[F.col(k) for k in keys]).mapInPandas(
+        gen, schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1521,13 +1763,6 @@ def zonal_stats_df(
             use_sketch = want_holistic
         elif plan == "salt" and holistic_salt is None:
             holistic_salt = 16
-    cells = zone_cover_cells(
-        zones, meta, clip_to_grid=not need_missing,
-        max_cells_per_zone=max_cells_per_zone,
-        raise_beyond_extent=not boundless,
-        with_geometry=not broadcast_zones,
-        null_wkb_keys=big_keys,
-    )
     if broadcast_zones and prune_tiles:
         # scan-level pruning: the zone dim is already on the driver, so a
         # per-zone tile-key range predicate costs nothing to build and
@@ -1544,11 +1779,36 @@ def zonal_stats_df(
         if pred is not None:
             tiles = tiles.filter(pred)
 
+    # broadcast fast path: the zone dim is on the driver already, so the
+    # cover cells are derived THERE and broadcast as a dict — no cells
+    # stage, no join, each tile payload crosses Arrow once (guide §8:
+    # decide with small rows, move big rows once). Zones that would hit a
+    # lazy error path (beyond-extent, cover cap, unknown dataset) return
+    # None and fall through to the executor-side generator + join plan, so
+    # error timing and messages are unchanged.
+    fast_cover = None
+    if broadcast_zones and not need_missing and prune_tiles:
+        fast_cover = broadcast_cover_cells(
+            zones.sparkSession, geoms_bc.value, meta,
+            max_cells_per_zone=max_cells_per_zone,
+            raise_beyond_extent=not boundless,
+        )
+    if fast_cover is None:
+        cells = zone_cover_cells(
+            zones, meta, clip_to_grid=not need_missing,
+            max_cells_per_zone=max_cells_per_zone,
+            raise_beyond_extent=not boundless,
+            with_geometry=not broadcast_zones,
+            null_wkb_keys=big_keys,
+        )
+
     tile_side = tiles.select(
         "dataset", "tile_col", "tile_row", "bytes", "fmt"
     )
     keys = ["dataset", "tile_col", "tile_row"]
-    if need_missing and broadcast_zones:
+    if fast_cover is not None:
+        joined = None
+    elif need_missing and broadcast_zones:
         # J4 without shuffling tiles: Spark cannot broadcast the LEFT side
         # of a left join, so a plain cells⟕tiles would fall to SMJ and
         # shuffle the payload-bearing tile corpus. Instead: inner broadcast
@@ -1585,9 +1845,7 @@ def zonal_stats_df(
         and zone_func is None
         and all(meta[d].get("dtype") == "float32" for d in refd)
     )
-    partials = partial_kernel(
-        joined,
-        meta,
+    kernel_kw = dict(
         all_touched=all_touched,
         nodata_override=nodata,
         want_counts=want_holistic or want_vc,
@@ -1599,6 +1857,10 @@ def zonal_stats_df(
         geoms=geoms_bc,
         user_partials={n: t[0] for n, t in add_stats.items()},
     )
+    if fast_cover is not None:
+        partials = partial_kernel_tiles(tiles, meta, fast_cover, **kernel_kw)
+    else:
+        partials = partial_kernel(joined, meta, **kernel_kw)
     group_keys = ("zone_id",) if bands is None else ("zone_id", "band")
 
     # join-back (J2): per-zone aggregates are ≤1 row/zone — same cardinality
@@ -1643,6 +1905,7 @@ def zonal_stats_df(
             partials, pctiles, want_vc, salt=salt, recompress_px=recompress,
             keys=group_keys,
             user_merges={n: (t[1], t[2]) for n, t in add_stats.items()},
+            vectorized=broadcast_zones,
         )
         result = _band_base(zones, bands).join(
             _bc(merged), list(group_keys), "left"
