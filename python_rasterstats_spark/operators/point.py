@@ -88,6 +88,7 @@ def point_query_df(
             raise ValueError(f"dataset {dataset!r} not in datasets table")
         zones = zones.withColumn("dataset", F.lit(dataset))
     bilin = interpolate == "bilinear"
+    fast = None
     if prune_tiles and broadcast_vertices:
         # scan-level pruning, same shape as zonal (the vertex set is
         # broadcast-regime small, so collecting bboxes costs nothing);
@@ -106,6 +107,78 @@ def point_query_df(
         )
         if pred is not None:
             tiles = tiles.filter(pred)
+        # broadcast fast path (mirrors zonal's broadcast_cover_cells): the
+        # vertex dim is on the driver already, so the per-vertex pixel
+        # windows are derived HERE and broadcast as a tile-keyed dict; the
+        # gather runs as ONE mapInPandas over the pruned tile scan — no
+        # window-explode stage, no persist, no broadcast join. Falls back
+        # to the lazy executor path when any vertex would hit the
+        # boundless=False raise, so error timing is unchanged.
+        fast = _driver_windows(gd, meta, bilin=bilin, boundless=boundless)
+    if fast is not None:
+        wmap, vkey_rows = fast
+        spark = zones.sparkSession
+        bc = spark.sparkContext.broadcast(wmap)
+
+        def gather_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wm = bc.value
+            for pdf in batches:
+                rows = {name: [] for name in _GATHER_SCHEMA.fieldNames()}
+                for ds, tc, tr, payload, fmt in zip(
+                    pdf["dataset"], pdf["tile_col"], pdf["tile_row"],
+                    pdf["bytes"], pdf["fmt"],
+                ):
+                    wins = wm.get((ds, tc, tr))
+                    if not wins:
+                        continue
+                    m = meta[ds]
+                    nd = nodata if nodata is not None else m["nodata"]
+                    nd = -999.0 if nd is None else nd
+                    block = np.asarray(C.decode_tile(bytes(payload), fmt))
+                    if block.ndim == 3:  # band select (S6, io.py:279)
+                        block = block[band - 1]
+                    block = block.astype(np.float64)
+                    for zid, vi, pix, ux, uy in wins:
+                        for pr, pc, pos in pix:
+                            val = None
+                            rr = pr - tr * m["tile_h"]
+                            cc = pc - tc * m["tile_w"]
+                            if 0 <= rr < block.shape[0] and 0 <= cc < block.shape[1]:
+                                v = float(block[rr, cc])
+                                # masked-read semantics: nodata → masked
+                                # (io.py:218-219 with masked=True)
+                                if v != nd:
+                                    val = v
+                            rows["zone_id"].append(zid)
+                            rows["vertex_idx"].append(vi)
+                            rows["pos"].append(pos)
+                            rows["value"].append(val)
+                            rows["ux"].append(ux)
+                            rows["uy"].append(uy)
+                if rows["zone_id"]:
+                    yield pd.DataFrame(rows)
+
+        # exact-key semi join (broadcast, JVM-side): vertex windows touch
+        # few tiles, so without it every pruned-scan tile's payload would
+        # cross Arrow just to be discarded by the dict lookup. The key set
+        # is driver-known and vertex-sized by regime.
+        keys_df = spark.createDataFrame(
+            [(ds, tc, tr) for (ds, tc, tr) in wmap],
+            "dataset string, tile_col int, tile_row int",
+        )
+        gathered = (
+            tiles.select("dataset", "tile_col", "tile_row", "bytes", "fmt")
+            .join(
+                F.broadcast(keys_df),
+                ["dataset", "tile_col", "tile_row"],
+                "left_semi",
+            )
+            .mapInPandas(gather_tiles, _GATHER_SCHEMA)
+        )
+        vkeys = spark.createDataFrame(
+            vkey_rows, "zone_id long, vertex_idx int"
+        )
+        return _interp_join(gathered, vkeys, bilin, F.broadcast)
 
     def explode_vertices(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,7 +313,53 @@ def point_query_df(
                 yield pd.DataFrame(rows)
 
     gathered = joined.mapInPandas(gather, _GATHER_SCHEMA)
+    return _interp_join(gathered, vkeys, bilin, _bc)
 
+
+def _driver_windows(gd: dict, meta: dict, *, bilin: bool, boundless: bool):
+    """Driver-side twin of the explode_vertices stage: per-vertex pixel
+    windows grouped by covering tile key. Returns
+    ``({(ds, tc, tr): [(zid, vi, [(pr, pc, pos)...], ux, uy)...]},
+    [(zid, vi)...])`` or None when any vertex would hit the
+    boundless=False beyond-extent raise (caller falls back to the lazy
+    executor path so the error surfaces at action time, as before)."""
+    wmap: dict = {}
+    vkeys: list = []
+    for (zid, ds), wkb in gd.items():
+        m = meta.get(ds)
+        if m is None:
+            return None
+        aff = m["affine"]
+        geom = G.wkb_loads(bytes(wkb))
+        for vi, (x, y) in enumerate(G.geom_vertices(geom)):
+            if bilin:
+                win, (ux, uy) = K.point_window_unitxy(x, y, aff)
+            else:
+                r, c = K.rowcol(x, y, aff)
+                win, (ux, uy) = ((r, r + 1), (c, c + 1)), (0.0, 0.0)
+            if not boundless and K.beyond_extent(
+                win, (m["height"], m["width"])
+            ):
+                return None
+            (r0, r1), (c0, c1) = win
+            by_tile: dict = {}
+            for pos, (pr, pc) in enumerate(
+                (pr, pc) for pr in range(r0, r1) for pc in range(c0, c1)
+            ):
+                key = (
+                    math.floor(pc / m["tile_w"]),
+                    math.floor(pr / m["tile_h"]),
+                )
+                by_tile.setdefault(key, []).append((pr, pc, pos))
+            for (tc, tr), pix in by_tile.items():
+                wmap.setdefault((ds, tc, tr), []).append(
+                    (zid, vi, pix, ux, uy)
+                )
+            vkeys.append((zid, vi))
+    return wmap, vkeys
+
+
+def _interp_join(gathered: DataFrame, vkeys: DataFrame, bilin: bool, _bc):
     # interpolation entirely in JVM expressions (no per-vertex pandas
     # groups): gather the ≤4 pixels into a pos→value map, then apply the
     # bilinear formula / masked-nearest fallback (point.py:29-65) as CASE
