@@ -668,17 +668,15 @@ def _morton_expr(colc, colr, level: int = 16):
     return qk
 
 
-def smj_bounds_filter(counts: DataFrame, meta: dict | None = None):
-    """Scan pruning for the SMJ regime, where the zone geometries are
-    never collected. The per-zone tile windows from the sizing pass are
-    grouped DISTRIBUTED by the quad-prefix of each window's center
-    (≤64 Morton buckets per dataset, the same grid-adaptive shift the
-    partition transform uses) and each bucket's bounding rect is
-    aggregated — so only ≤64 tiny rect rows per dataset reach the
-    driver, and the predicate keeps near-per-zone granularity for
-    sparse scattered zone sets at ANY zone-set size. Without ``meta``
-    (grid dims unknown) it falls back to one union bbox per dataset.
-    Superset-safe by the same window math as the cover cells."""
+def _smj_bucket_rows(counts: DataFrame, meta: dict | None, extra_aggs=()):
+    """The sizing-pass bucket aggregation shared by smj_bounds_filter and
+    smj_sizing_summary: per-zone tile windows grouped DISTRIBUTED by the
+    quad-prefix of each window's center (≤64 Morton buckets per dataset,
+    the same grid-adaptive shift the partition transform uses), each
+    bucket's bounding rect aggregated — only tiny rows reach the driver.
+    ``extra_aggs`` extends the aggregation so further per-dataset scalars
+    (size estimate, hybrid cost bound) ride the SAME job instead of
+    re-scanning the sizing table once per consumer."""
     if meta is not None:
         from ..sources.tables import dataset_prefix_shifts
 
@@ -698,17 +696,18 @@ def smj_bounds_filter(counts: DataFrame, meta: dict | None = None):
         ).groupBy("dataset", "_b")
     else:
         grouped = counts.groupBy("dataset")
-    rows = grouped.agg(
+    return grouped.agg(
         F.min("tc0").alias("tc0"),
         F.max("tc1").alias("tc1"),
         F.min("tr0").alias("tr0"),
         F.max("tr1").alias("tr1"),
+        *extra_aggs,
     ).collect()
-    by_ds: dict = {}
-    for r in rows:
-        by_ds.setdefault(r["dataset"], []).append(
-            (r["tc0"], r["tc1"], r["tr0"], r["tr1"])
-        )
+
+
+def _rects_pred(by_ds: dict):
+    """Per-dataset rect lists → the scan predicate (dense sets collapse
+    to their union exactly as tile_prune_filter does)."""
     parts = []
     for ds, rects in by_ds.items():
         rects = _coalesce_rects(rects, 64)
@@ -729,6 +728,52 @@ def smj_bounds_filter(counts: DataFrame, meta: dict | None = None):
         )
         parts.append(f"(dataset = {_sql_str(ds)} AND ({rng}))")
     return F.expr(" OR ".join(parts)) if parts else None
+
+
+def smj_bounds_filter(counts: DataFrame, meta: dict | None = None):
+    """Scan pruning for the SMJ regime, where the zone geometries are
+    never collected (see _smj_bucket_rows for the distributed grouping).
+    Without ``meta`` (grid dims unknown) it falls back to one union bbox
+    per dataset. Superset-safe by the same window math as the cover
+    cells."""
+    rows = _smj_bucket_rows(counts, meta)
+    by_ds: dict = {}
+    for r in rows:
+        by_ds.setdefault(r["dataset"], []).append(
+            (r["tc0"], r["tc1"], r["tr0"], r["tr1"])
+        )
+    return _rects_pred(by_ds)
+
+
+def smj_sizing_summary(counts: DataFrame, meta: dict):
+    """ONE job serving all three sizing-pass consumers (scan fence, auto-
+    holistic size estimate, hybrid-WKB decision): the bucket aggregation
+    of smj_bounds_filter extended with per-bucket max ncells and max
+    wkb×ncells cost. Returns (pred, est_px, max_cost) where est_px is the
+    largest per-zone bbox pixel estimate over all datasets and max_cost
+    bounds every zone's per-cell WKB duplication — when it does not
+    exceed the hybrid threshold, the per-zone top-cost query (a second
+    read of the sizing table) is skipped entirely."""
+    rows = _smj_bucket_rows(
+        counts, meta,
+        extra_aggs=(
+            F.max("ncells").alias("_mx_cells"),
+            F.max(F.col("wkb_bytes") * F.col("ncells")).alias("_mx_cost"),
+        ),
+    )
+    by_ds: dict = {}
+    est_px = 0
+    max_cost = 0
+    for r in rows:
+        by_ds.setdefault(r["dataset"], []).append(
+            (r["tc0"], r["tc1"], r["tr0"], r["tr1"])
+        )
+        m = meta.get(r["dataset"])
+        if m is not None and r["_mx_cells"] is not None:
+            est_px = max(est_px, r["_mx_cells"] * m["tile_w"] * m["tile_h"])
+        if r["_mx_cost"] is not None:
+            max_cost = max(max_cost, r["_mx_cost"])
+    return _rects_pred(by_ds), est_px, max_cost
 
 
 def hybrid_big_zone_geoms(
@@ -1705,42 +1750,31 @@ def zonal_stats_df(
         if auto_holistic:
             est_px = _max_zone_px(geoms_bc.value, meta)
     elif hybrid_wkb_bytes is not None or prune_tiles or auto_holistic:
-        # SMJ regime: ONE distributed sizing pass over the zone table
-        # feeds the hybrid-WKB selection, the (collect-free) scan fence
-        # AND the auto-holistic size estimate; the tiny result (8 narrow
-        # columns/zone) is persisted across its consumers so the zones
-        # table is scanned exactly once (asserted in tests/test_prune.py
-        # via the sizing accumulator)
+        # SMJ regime: ONE distributed sizing pass over the zone table,
+        # summarized by ONE aggregation job that serves all three
+        # consumers — hybrid-WKB decision, (collect-free) scan fence AND
+        # the auto-holistic size estimate (three separate collects in
+        # earlier rounds). The tiny sizing table (8 narrow columns/zone)
+        # is persisted only when the hybrid per-zone top-cost query may
+        # actually need a second read, which the summary's max-cost bound
+        # decides — so the zones table is still scanned exactly once
+        # (asserted in tests/test_r5_fixes.py via the sizing accumulator)
         counts = zone_cell_counts(zones, meta, clip_to_grid=not need_missing)
-        consumers = (
-            (hybrid_wkb_bytes is not None) + prune_tiles + auto_holistic
-        )
-        if consumers > 1:
+        if hybrid_wkb_bytes is not None:
             counts = counts.persist()
         try:
-            if hybrid_wkb_bytes is not None:
+            pred, est, max_cost = smj_sizing_summary(counts, meta)
+            if prune_tiles and pred is not None:
+                tiles = tiles.filter(pred)
+            if auto_holistic:
+                est_px = est
+            if hybrid_wkb_bytes is not None and max_cost > hybrid_wkb_bytes:
                 geoms_bc, big_keys = hybrid_big_zone_geoms(
                     zones, meta, clip_to_grid=not need_missing,
                     threshold_bytes=hybrid_wkb_bytes, counts=counts,
                 )
-            if prune_tiles:
-                pred = smj_bounds_filter(counts, meta)
-                if pred is not None:
-                    tiles = tiles.filter(pred)
-            if auto_holistic:
-                est_px = max(
-                    (
-                        r["mx"] * meta[r["dataset"]]["tile_w"]
-                        * meta[r["dataset"]]["tile_h"]
-                        for r in counts.groupBy("dataset")
-                        .agg(F.max("ncells").alias("mx"))
-                        .collect()
-                        if r["dataset"] in meta
-                    ),
-                    default=0,
-                )
         finally:
-            if consumers > 1:
+            if hybrid_wkb_bytes is not None:
                 counts.unpersist()
     if auto_holistic:
         refd_ds = (
