@@ -16,28 +16,34 @@ def _toks(col: str = "text"):
     return F.split(F.trim(F.col(col)), " ")
 
 
+def _tokenized(docs: DataFrame, *extra_cols):
+    """(doc_id[, extra...], _toks) with the split projected ONCE per row:
+    operators below reference the token array several times, and each
+    reference to the raw split EXPRESSION re-splits the text — a
+    projected column is split once and read many times. Same arrays."""
+    return docs.select("doc_id", *extra_cols, _toks().alias("_toks"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counting (whitespace tokenizer)."""
-    toks = _toks()
-    return docs.select(
+    toks = F.col("_toks")
+    return _tokenized(
+        docs, F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).alias("_nws")
+    ).select(
         "doc_id",
         F.size(toks).alias("token_cnt"),
         F.size(F.array_distinct(toks)).alias("uniq_token_cnt"),
-        F.round(
-            F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
-            / F.size(toks),
-            6,
-        ).alias("avg_token_len"),
+        F.round(F.col("_nws") / F.size(toks), 6).alias("avg_token_len"),
     )
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length, stopword ratio, repetition."""
-    toks = _toks()
+    toks = F.col("_toks")
     stop_cnt = F.size(
         F.filter(toks, lambda x: x.isin(*STOPWORDS))
     )
-    return docs.select(
+    return _tokenized(docs, "n_chars").select(
         "doc_id",
         F.col("n_chars"),
         F.size(toks).alias("word_cnt"),
@@ -55,12 +61,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram/stopword language-ID heuristic (en vs und)."""
-    toks = _toks()
+    toks = F.col("_toks")
     en_score = F.round(
         F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))) / F.size(toks),
         6,
     )
-    return docs.select(
+    return _tokenized(docs).select(
         "doc_id",
         en_score.alias("en_score"),
         F.when(en_score > 0.0, "en").otherwise("und").alias("lang_pred"),

@@ -71,6 +71,32 @@ def write_geopackage(path: str, layers: dict) -> None:
 
     con = sqlite3.connect(path)
     try:
+        # OGC requirements 2/3: the GeoPackage magic in application_id
+        # ('GPKG') + a 1.2 user_version, and a gpkg_spatial_ref_sys table
+        # with the mandatory srs rows — without these, OGR/fiona-based
+        # readers reject the file outright
+        con.execute("PRAGMA application_id = 0x47504B47")
+        con.execute("PRAGMA user_version = 10200")
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys ("
+            "srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, "
+            "organization TEXT NOT NULL, organization_coordsys_id INTEGER "
+            "NOT NULL, definition TEXT NOT NULL, description TEXT)"
+        )
+        con.executemany(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [
+                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined",
+                 "undefined cartesian coordinate reference system"),
+                ("Undefined geographic SRS", 0, "NONE", 0, "undefined",
+                 "undefined geographic coordinate reference system"),
+                ("WGS 84 geodetic", 4326, "EPSG", 4326,
+                 'GEOGCS["WGS 84",DATUM["WGS_1984",'
+                 'SPHEROID["WGS 84",6378137,298.257223563]],'
+                 'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+                 "longitude/latitude coordinates in decimal degrees"),
+            ],
+        )
         con.execute(
             "CREATE TABLE IF NOT EXISTS gpkg_contents ("
             "table_name TEXT PRIMARY KEY, data_type TEXT, "

@@ -1284,15 +1284,7 @@ def _row_vc(v, c):
 def _merge_vc(pdf: pd.DataFrame):
     """Merge per-partial (value, count) arrays: concat → unique → scatter-add.
     Associative, so it works as both the salted pre-merge and the final."""
-    pairs = [_row_vc(v, c) for v, c in zip(pdf["vc_vals"], pdf["vc_cnts"])]
-    vals = np.concatenate([p[0] for p in pairs] or [np.empty(0)])
-    cnts = np.concatenate(
-        [p[1] for p in pairs] or [np.empty(0, dtype=np.int64)]
-    )
-    u, inv = np.unique(vals, return_inverse=True)
-    merged = np.zeros(len(u), dtype=np.int64)
-    np.add.at(merged, inv, cnts)
-    return u, merged
+    return _merge_vc_arrays(list(pdf["vc_vals"]), list(pdf["vc_cnts"]))
 
 
 def _merge_scalars(pdf: pd.DataFrame) -> dict:
@@ -1384,11 +1376,34 @@ def exploded_holistic(
 
 
 def _merge_vc_arrays(vlist, clist):
-    """_merge_vc over parallel sequences of per-partial (vals, cnts)."""
-    pairs = [_row_vc(v, c) for v, c in zip(vlist, clist)]
-    vals = np.concatenate([p[0] for p in pairs] or [np.empty(0)])
+    """Merge per-partial (vals, cnts) sequences into one sorted unique
+    (values, counts) pair. Two fast paths for the dominant wire shapes:
+    compact float32 blobs concatenate as ONE buffer (a single frombuffer +
+    astype instead of one per partial), and when every partial's counts
+    are implicit ones (all-distinct blocks — the continuous-raster case)
+    the merged counts are just np.unique's return_counts, skipping the
+    big ones array and the scatter-add. Identical values either way."""
+    ones = all(c is None or len(c) == 0 for c in clist)
+    if all(isinstance(v, (bytes, bytearray)) for v in vlist):
+        # unique in the float32 domain (float32→float64 is injective and
+        # order-preserving, so the grouping is identical) — the sort runs
+        # over half the bytes; only the much smaller unique array is
+        # widened to float64 for the downstream percentile math
+        vals32 = np.frombuffer(b"".join(vlist), dtype=np.float32)
+        if ones:
+            u, cnt = np.unique(vals32, return_counts=True)
+            return u.astype(np.float64), cnt.astype(np.int64, copy=False)
+        vals = vals32.astype(np.float64)
+    else:
+        vals = np.concatenate(
+            [_row_vc(v, None)[0] for v in vlist] or [np.empty(0)]
+        )
+        if ones:
+            u, cnt = np.unique(vals, return_counts=True)
+            return u, cnt.astype(np.int64, copy=False)
     cnts = np.concatenate(
-        [p[1] for p in pairs] or [np.empty(0, dtype=np.int64)]
+        [_row_vc(v, c)[1] for v, c in zip(vlist, clist)]
+        or [np.empty(0, dtype=np.int64)]
     )
     u, inv = np.unique(vals, return_inverse=True)
     merged = np.zeros(len(u), dtype=np.int64)

@@ -72,8 +72,17 @@ def _rings_to_geom(rings: list) -> dict:
     return {"type": "MultiPolygon", "coordinates": coords}
 
 
+# shape types whose XY layout this parser understands: Null, Point /
+# PolyLine / Polygon / MultiPoint and their Z (+10) / M (+20) variants.
+# MultiPatch (31) etc. must NOT fall through `% 10` onto a supported base
+# — they would silently parse garbage from their bbox bytes.
+_KNOWN_SHAPE_TYPES = frozenset({0, 1, 3, 5, 8, 11, 13, 15, 18, 21, 23, 25, 28})
+
+
 def _parse_shape(buf: bytes) -> dict | None:
     (stype,) = struct.unpack_from("<i", buf, 0)
+    if stype not in _KNOWN_SHAPE_TYPES:
+        raise ShapefileError(f"unsupported shape type {stype}")
     base = stype % 10  # Z (+10) and M (+20) variants share the XY layout
     if stype == 0:
         return None

@@ -137,6 +137,9 @@ def main():
         row_group_bytes=int(args.row_group_mib * MIB),
     )
     ranges = quadkey_prune_ranges(gd, meta)[ds]
+    if ranges is None:  # Morton-overflow sentinel: no quadkey constraint
+        print(f"{ds}: grid overflows the quadkey level — unpruned scan")
+        ranges = [(0, (1 << 63) - 1)]  # admit-all, matching the real scan
 
     rows = {
         "union_bbox_plain": admit_bytes(tiles_path, rect_admit([union])),
