@@ -190,12 +190,18 @@ def test_auto_holistic_plan_unit():
     # huge + quantiles-only + continuous → sketch
     assert auto_holistic_plan(
         10**9, want_exact_domain=False, continuous=True, **kw) == "sketch"
-    # huge but the exact domain is required → salted exact merge
+    # huge + exact domain on a CONTINUOUS raster → plain exact merge: a
+    # salted pre-merge cannot collapse a duplicate-free domain, so it
+    # only re-serializes the full multiset through a second pandas round
+    # (r6: measured 247 s salted vs 51 s exact on the 604 M-px corpus,
+    # identical values)
     assert auto_holistic_plan(
-        10**9, want_exact_domain=True, continuous=True, **kw) == "salt"
+        10**9, want_exact_domain=True, continuous=True, **kw) == "exact"
     # huge integer raster (bounded domain collapses under merge) → salt
     assert auto_holistic_plan(
         10**9, want_exact_domain=False, continuous=False, **kw) == "salt"
+    assert auto_holistic_plan(
+        10**9, want_exact_domain=True, continuous=False, **kw) == "salt"
 
 
 def test_auto_default_is_exact_at_parity_scale(corpus):
