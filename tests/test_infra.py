@@ -219,6 +219,20 @@ def test_smj_regime_end_to_end_over_bucketed_tiles(spark, corpus):
     )
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # pin shuffle partitions to the bucket count for a deterministic plan
+    # shape: otherwise the cells-side aggregation exchange lands at the
+    # session's partition count and EnsureRequirements inserts a second
+    # (key-only) exchange to align with the 8 buckets, making the
+    # exchange COUNT depend on whatever conf earlier tests left behind
+    nsp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def key_exchanges(frame):
+        return [
+            ln for ln in physical_plan(frame).splitlines()
+            if "Exchange hashpartitioning(dataset" in ln
+        ]
+
     try:
         df = zonal_stats_df(
             z, bt, datasets, dataset="slope", stats=STATS,
@@ -226,17 +240,24 @@ def test_smj_regime_end_to_end_over_bucketed_tiles(spark, corpus):
         )
         plan = physical_plan(df)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        # exactly ONE exchange on the tile-join key: the cells side
-        # shuffles INTO the table's bucketing; the bucketed tile scan
-        # itself is exchange-free (vs 2 key exchanges with plain parquet)
-        key_exchanges = [
-            ln for ln in plan.splitlines()
-            if "Exchange hashpartitioning(dataset" in ln
-        ]
-        assert len(key_exchanges) == 1, key_exchanges
+        # the bucketed tile scan is exchange-free: the SAME query over
+        # PLAIN parquet tiles needs exactly one more tile-key exchange
+        # (the payload-bearing tile side shuffling into the join). The
+        # cells side may carry one or two key exchanges of its own — the
+        # r6 tile-grouped aggregation re-partitions to the bucket count
+        # when spark.sql.shuffle.partitions differs from it — but those
+        # move key-only grouped rows, never tile payloads.
+        plain_df = zonal_stats_df(
+            z, tiles, datasets, dataset="slope", stats=STATS,
+            broadcast_zones=False,
+        )
+        n_bucketed = len(key_exchanges(df))
+        n_plain = len(key_exchanges(plain_df))
+        assert n_plain == n_bucketed + 1, (n_bucketed, n_plain)
         got = sorted(map(tuple, df.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", nsp)
     assert got == want
 
 
